@@ -1,0 +1,51 @@
+"""Contig emission and canonicalization helpers.
+
+Mirrors ``DSKmerToContig`` + ``TagRowContigID``
+(``ReflexivDSMain.java:715-795``): a record's contig is its full sequence
+(sub-kmer + extension in either orientation — with our seq+length records the
+orientation is already folded in), filtered by ``minContig`` and by the
+repeat-kill marker (both attrs <= -10000000, ``ReflexivDSMain.java:749``).
+IDs are ``>Contig-<len>-(<left>,<right>)-<idx>``.
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from .bitpack import decode_to_str
+from .records import REPEAT_KILLED, Records, to_host
+
+
+def emit_contigs(recs: Records, *, min_contig: int) -> List[Tuple[str, str]]:
+    """Extract (id, sequence) pairs from final records (host-side)."""
+    seq, length, left, right, live = to_host(recs)
+    out: List[Tuple[str, str]] = []
+    idx = 0
+    for i in np.nonzero(live)[0]:
+        n = int(length[i])
+        if n < min_contig:
+            continue
+        if left[i] <= REPEAT_KILLED and right[i] <= REPEAT_KILLED:
+            continue
+        contig = decode_to_str(seq[i, :n])
+        out.append((f">Contig-{n}-({int(left[i])},{int(right[i])})-{idx}", contig))
+        idx += 1
+    return out
+
+
+def revcomp_str(s: str) -> str:
+    comp = str.maketrans("ACGTacgt", "TGCAtgca")
+    return s.translate(comp)[::-1]
+
+
+def canonical_contig(s: str) -> str:
+    """RC-canonical form for parity comparison: reference output orientation is
+    scan-order dependent (SURVEY.md section 5), so contig-set equality is
+    defined over min(seq, revcomp(seq))."""
+    rc = revcomp_str(s)
+    return s if s <= rc else rc
+
+
+def canonical_set(contigs: List[Tuple[str, str]]) -> set:
+    return {canonical_contig(seq) for _, seq in contigs}

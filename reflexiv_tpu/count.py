@@ -1,0 +1,136 @@
+"""Canonical k-mer extraction and counting (single-device path).
+
+TPU-native replacement for the reference's counting job
+(``ReflexivDataFrameCounter.assembly``, ``ReflexivDataFrameCounter.java:139-233``):
+FASTQ -> rolling 2-bit pack with on-the-fly reverse complement and canonical
+select (``ReverseComplementKmerBinaryExtractionFromDataset``,
+``ReflexivDSMain.java:3950-4023``) -> ``groupBy("value").count()`` with
+coverage filters (``:207-216``).
+
+Here the Spark shuffle-count becomes: vectorized windowed pack over the whole
+read matrix (no gathers — per-base shifted slices OR'd into uint32 limbs),
+one XLA sort over the packed keys, and a segmented run-length count. The
+multi-chip variant in :mod:`reflexiv_tpu.parallel` routes k-mers to owner
+shards by key hash with ``all_to_all`` before the same local sort-count.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bitpack import num_limbs
+
+
+@functools.partial(jax.jit, static_argnames=("k", "front_clip", "end_clip"))
+def extract_canonical_kmers(
+    bases: jnp.ndarray,        # (R, L) uint8 codes
+    lengths: jnp.ndarray,      # (R,) int32
+    *,
+    k: int,
+    front_clip: int = 0,
+    end_clip: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """All canonical k-mers from a read matrix.
+
+    Returns ``(limbs, valid)`` with ``limbs`` shaped ``(R*(L-k+1), W)`` uint32
+    and ``valid`` the per-window liveness mask. Window w of read r is valid iff
+    the read passes the reference's length gate
+    (``readLength - k - endClip > 1 && frontClip <= readLength``,
+    ``ReflexivDSMain.java:3968``) and the window lies in
+    ``[frontClip, readLength - endClip - k]``.
+    """
+    R, L = bases.shape
+    Wn = L - k + 1
+    if Wn <= 0:
+        raise ValueError(f"read matrix width {L} shorter than k={k}")
+    W = num_limbs(k)
+
+    fwd = [jnp.zeros((R, Wn), dtype=jnp.uint32) for _ in range(W)]
+    rc = [jnp.zeros((R, Wn), dtype=jnp.uint32) for _ in range(W)]
+    for j in range(k):
+        col = bases[:, j : j + Wn].astype(jnp.uint32)
+        # forward: base j of the window sits at bit 2*(k-1-j)
+        bitpos = 2 * (k - 1 - j)
+        fwd[W - 1 - bitpos // 32] |= col << (bitpos % 32)
+        # reverse complement: complement of base j sits at bit 2*j
+        rcpos = 2 * j
+        rc[W - 1 - rcpos // 32] |= (col ^ 3) << (rcpos % 32)
+
+    # canonical = min(fwd, rc), unrolled lexicographic compare over limbs
+    lt = jnp.zeros((R, Wn), dtype=bool)
+    eq = jnp.ones((R, Wn), dtype=bool)
+    for i in range(W):
+        lt = lt | (eq & (fwd[i] < rc[i]))
+        eq = eq & (fwd[i] == rc[i])
+    take_fwd = lt | eq
+    limbs = jnp.stack(
+        [jnp.where(take_fwd, f, r) for f, r in zip(fwd, rc)], axis=-1
+    )  # (R, Wn, W)
+
+    w_idx = jnp.arange(Wn, dtype=jnp.int32)[None, :]
+    lens = lengths[:, None]
+    read_ok = (lens - k - end_clip > 1) & (front_clip <= lens)
+    win_ok = (w_idx >= front_clip) & (w_idx + k <= lens - end_clip)
+    valid = (read_ok & win_ok).reshape(R * Wn)
+    return limbs.reshape(R * Wn, W), valid
+
+
+@functools.partial(jax.jit, static_argnames=("min_cov", "max_cov"))
+def sort_count_filter(
+    limbs: jnp.ndarray,   # (N, W) uint32
+    valid: jnp.ndarray,   # (N,) bool
+    *,
+    min_cov: int,
+    max_cov: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sort packed k-mers, run-length count, apply coverage band.
+
+    Returns ``(sorted_limbs, counts, keep)``: ``keep`` marks the first row of
+    each distinct valid k-mer whose count lies in ``[min_cov, max_cov]``
+    (the reference's filter at ``ReflexivDSMain.java:211-216``).
+    """
+    N, W = limbs.shape
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    keyed = jnp.where(valid[:, None], limbs, sentinel)
+    order = jnp.lexsort(tuple(keyed[:, i] for i in range(W - 1, -1, -1)))
+    skey = keyed[order]
+    svalid = valid[order]
+
+    prev = jnp.roll(skey, 1, axis=0)
+    is_start = jnp.any(skey != prev, axis=1)
+    is_start = is_start.at[0].set(True)
+    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    counts = jax.ops.segment_sum(svalid.astype(jnp.int32), seg, num_segments=N)
+    row_count = counts[seg]
+    keep = is_start & svalid & (row_count >= min_cov) & (row_count <= max_cov)
+    return skey, row_count, keep
+
+
+def count_kmers(
+    bases: np.ndarray,
+    lengths: np.ndarray,
+    *,
+    k: int,
+    min_cov: int,
+    max_cov: int = 10_000_000,
+    front_clip: int = 0,
+    end_clip: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """End-to-end single-device counting: reads -> (unique kmer limbs, counts).
+
+    Host wrapper: runs the jitted extraction + sort-count, then compacts the
+    masked rows to a dense table on the host.
+    """
+    limbs, valid = extract_canonical_kmers(
+        jnp.asarray(bases), jnp.asarray(lengths), k=k,
+        front_clip=front_clip, end_clip=end_clip,
+    )
+    skey, row_count, keep = sort_count_filter(
+        limbs, valid, min_cov=min_cov, max_cov=max_cov
+    )
+    keep_np = np.asarray(keep)
+    return np.asarray(skey)[keep_np], np.asarray(row_count)[keep_np]

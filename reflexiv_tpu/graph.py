@@ -1,0 +1,130 @@
+"""Edge-free de Bruijn graph construction: RC expansion + fork filtering.
+
+Implements the reference's both-direction out-degree-1 selection without
+storing edges (SURVEY.md section 2.6 step 2):
+
+  1. every counted canonical k-mer is expanded to both strands
+     (``DSKmerReverseComplementLong``, ``ReflexivDSMain.java:3840-3870``);
+  2. rows are grouped by their (k-1)-base *prefix*; within a group the
+     highest-coverage row wins and its right end is marked blocked
+     (``param.subKmerSize``) or extendable-with-coverage (``-1-cover``) per
+     the error-correction rule (``DSFilterForkSubKmerWithErrorCorrection``,
+     ``ReflexivDSMain.java:3425-3484``);
+  3. the same selection runs on (k-1)-base *suffix* groups for the other
+     strand direction, marking the left end
+     (``DSFilterForkReflectedSubKmerWithErrorCorrection``,
+     ``ReflexivDSMain.java:3543-3617``).
+
+Winner rule, vectorized: lexicographic max of (coverage, extension base) —
+identical to the reference's sequential replace-if-strictly-greater scan for
+the 2-row forks that dominate real data. A fork winner stays extendable only
+if EVERY losing branch is error-killable (loser.cover <= minErrorCoverage and
+winner.cover >= 2 * loser.cover); the reference's scan applies the rule
+against the last-compared loser only, which is intra-group-order dependent —
+ours is the deterministic, order-independent strengthening.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .bitpack import pack_bases, revcomp_bases, unpack_bases
+from .records import Records, make_records
+
+
+def _fork_attr(
+    keys: jnp.ndarray,    # (N, Wp) uint32 group keys (sub-kmer limbs)
+    cover: jnp.ndarray,   # (N,) int32
+    ext: jnp.ndarray,     # (N,) uint8 — the single differing base
+    valid: jnp.ndarray,   # (N,) bool
+    *,
+    min_error: int,
+    blocked: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One fork-filter pass. Returns (winner_mask, attr) in input row order."""
+    N, Wp = keys.shape
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    keyed = jnp.where(valid[:, None], keys, sentinel)
+    # sort: key asc, then coverage desc, then ext desc -> winner first in group
+    inv_cover = ~cover.astype(jnp.uint32)
+    inv_ext = ~ext.astype(jnp.uint32)
+    order = jnp.lexsort(
+        (inv_ext, inv_cover) + tuple(keyed[:, i] for i in range(Wp - 1, -1, -1))
+    )
+    skey = keyed[order]
+    scover = cover[order]
+    svalid = valid[order]
+
+    prev = jnp.roll(skey, 1, axis=0)
+    is_start = jnp.any(skey != prev, axis=1)
+    is_start = is_start.at[0].set(True)
+    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+
+    ones = svalid.astype(jnp.int32)
+    group_size = jax.ops.segment_sum(ones, seg, num_segments=N)
+    win_cover = jax.ops.segment_max(
+        jnp.where(svalid, scover, -1), seg, num_segments=N
+    )
+    # per-loser error-kill test against the group winner's coverage
+    killable = (scover <= min_error) & (win_cover[seg] >= 2 * scover)
+    loser_ok = jnp.where(is_start | ~svalid, 1, killable.astype(jnp.int32))
+    all_killable = jax.ops.segment_min(loser_ok, seg, num_segments=N) > 0
+
+    winner = is_start & svalid
+    extendable = (group_size[seg] == 1) | all_killable[seg]
+    attr_sorted = jnp.where(extendable, -1 - scover, blocked)
+
+    # scatter back to input row order
+    winner_out = jnp.zeros(N, dtype=bool).at[order].set(winner)
+    attr_out = jnp.zeros(N, dtype=jnp.int32).at[order].set(attr_sorted)
+    return winner_out, attr_out
+
+
+@functools.partial(jax.jit, static_argnames=("k", "min_error"))
+def build_initial_records(
+    kmer_limbs: jnp.ndarray,  # (U, W) uint32 canonical k-mers
+    counts: jnp.ndarray,      # (U,) int32
+    *,
+    k: int,
+    min_error: int,
+) -> Tuple[Records, jnp.ndarray]:
+    """Counted canonical k-mers -> fork-filtered two-strand RDK record set.
+
+    Returns ``(records, marker)`` where every live record is a full k-mer
+    (seq length k) in reflected representation (marker 2), matching the state
+    entering ``DSkmerRandomReflection`` in the reference flow
+    (``ReflexivDSMain.java:241-259``).
+    """
+    sub = k - 1
+    bases_f = unpack_bases(kmer_limbs, k)          # (U, k)
+    bases_r = revcomp_bases(bases_f)               # other strand
+    bases = jnp.concatenate([bases_f, bases_r], axis=0)   # (2U, k)
+    cover = jnp.concatenate([counts, counts], axis=0).astype(jnp.int32)
+    valid = jnp.ones(bases.shape[0], dtype=bool)
+
+    # pass 1: prefix groups -> right-end attr (DSFilterForkSubKmerWithErrorCorrection)
+    pkeys = pack_bases(bases[:, :sub], sub)
+    win_f, right = _fork_attr(
+        pkeys, cover, bases[:, k - 1], valid, min_error=min_error, blocked=sub
+    )
+
+    # pass 2: suffix groups over pass-1 survivors -> left-end attr
+    # (DSFilterForkReflectedSubKmerWithErrorCorrection)
+    skeys = pack_bases(bases[:, 1:], sub)
+    win_r, left = _fork_attr(
+        skeys, cover, bases[:, 0], win_f, min_error=min_error, blocked=sub
+    )
+
+    live = win_f & win_r
+    recs = make_records(
+        seq=bases,
+        length=jnp.full(bases.shape[0], k, dtype=jnp.int32),
+        left=left,
+        right=right,
+        live=live,
+    )
+    marker = jnp.full(bases.shape[0], 2, dtype=jnp.int32)
+    return recs, marker

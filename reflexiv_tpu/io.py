@@ -1,0 +1,129 @@
+"""Host-side sequence IO: FASTQ/FASTA readers, FASTA contig writer.
+
+Replaces the reference's driver/executor file plumbing
+(``DSFastqFilterWithQual``/``DSFastqUnitFilter`` 4-line reassembly,
+``ReflexivDSMain.java:4037-4072``; contig text output ``DSKmerToContig`` +
+``TagRowContigID``, ``ReflexivDSMain.java:715-795``). Decoding to 2-bit codes
+happens here on the host; everything downstream is device arrays.
+"""
+from __future__ import annotations
+
+import glob as _glob
+import gzip
+import os
+from typing import Iterable, Iterator, List, Sequence, Tuple
+
+import numpy as np
+
+from .bitpack import encode_ascii
+
+
+def _open_maybe_gzip(path: str):
+    if path.endswith(".gz"):
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
+def expand_paths(pattern: str) -> List[str]:
+    """Expand a comma-separated list of glob patterns (reference accepts globs
+    like ``./example/paired_dat*.fq.gz``)."""
+    paths: List[str] = []
+    for pat in pattern.split(","):
+        hits = sorted(_glob.glob(pat))
+        if not hits and os.path.exists(pat):
+            hits = [pat]
+        paths.extend(hits)
+    if not paths:
+        raise FileNotFoundError(f"no input files match: {pattern}")
+    return paths
+
+
+def iter_fastq(paths: Iterable[str]) -> Iterator[bytes]:
+    """Yield read sequences (bytes) from FASTQ files (plain or .gz)."""
+    for path in paths:
+        with _open_maybe_gzip(path) as fh:
+            while True:
+                header = fh.readline()
+                if not header:
+                    break
+                seq = fh.readline().strip()
+                fh.readline()  # +
+                fh.readline()  # qual
+                if seq:
+                    yield seq
+
+
+def iter_fasta(paths: Iterable[str]) -> Iterator[Tuple[str, bytes]]:
+    """Yield (name, sequence bytes) from FASTA files (plain or .gz)."""
+    for path in paths:
+        name = None
+        chunks: List[bytes] = []
+        with _open_maybe_gzip(path) as fh:
+            for raw in fh:
+                line = raw.strip()
+                if line.startswith(b">"):
+                    if name is not None:
+                        yield name, b"".join(chunks)
+                    name = line[1:].decode()
+                    chunks = []
+                elif line:
+                    chunks.append(line)
+        if name is not None:
+            yield name, b"".join(chunks)
+
+
+def reads_to_matrix(seqs: Sequence[bytes]) -> Tuple[np.ndarray, np.ndarray]:
+    """Pack variable-length reads into a (R, Lmax) uint8 code matrix + lengths.
+
+    Pad value is 0 (=='A'); padded columns are masked out downstream via the
+    length vector, so the pad code never reaches a counted k-mer.
+    """
+    n = len(seqs)
+    lens = np.fromiter((len(s) for s in seqs), dtype=np.int32, count=n)
+    lmax = int(lens.max()) if n else 0
+    mat = np.zeros((n, lmax), dtype=np.uint8)
+    for i, s in enumerate(seqs):
+        mat[i, : lens[i]] = encode_ascii(np.frombuffer(s, dtype=np.uint8))
+    return mat, lens
+
+
+def load_reads(pattern: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Load FASTQ (or FASTA if no '@' records found) reads into a code matrix."""
+    paths = expand_paths(pattern)
+    seqs = list(iter_fastq(paths))
+    if not seqs:
+        seqs = [s for _, s in iter_fasta(paths)]
+    return reads_to_matrix(seqs)
+
+
+def wrap_sequence(seq: str, width: int = 100) -> str:
+    """100-column FASTA wrapping, as ``changeLine``
+    (``ReflexivDSMain.java:773-794``)."""
+    return "\n".join(seq[i : i + width] for i in range(0, len(seq), width))
+
+
+def write_contigs_fasta(
+    path: str,
+    contigs: Sequence[Tuple[str, str]],
+    gzip_output: bool = False,
+) -> None:
+    """Write contigs as FASTA. ``contigs`` is a list of (id_line, sequence);
+    IDs follow the reference format ``>Contig-<len>-(<left>,<right>)-<idx>``
+    (``DSKmerToContig`` + ``TagRowContigID``, ``ReflexivDSMain.java:715-767``)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    opener = gzip.open if gzip_output else open
+    with opener(path, "wt") as fh:
+        for cid, seq in contigs:
+            fh.write(f"{cid}\n{wrap_sequence(seq)}\n")
+
+
+def write_success_marker(directory: str) -> None:
+    """Stage-completion marker, mirroring Spark's ``_SUCCESS`` files that the
+    reference's orchestrator keys resume off (``Pipelines.java:481-501``)."""
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, "_SUCCESS"), "w"):
+        pass
+
+
+def has_success_marker(directory: str) -> bool:
+    return os.path.exists(os.path.join(directory, "_SUCCESS"))

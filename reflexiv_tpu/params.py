@@ -1,0 +1,75 @@
+"""Assembly parameters.
+
+TPU-native equivalent of the reference's parameter system
+(``util/DefaultParam.java:42-292`` and ``util/Parameter.java:68-104``): a single
+frozen dataclass holding every tunable, with the same defaults as the reference.
+
+Notes on derived values (mirroring ``DefaultParam.java``):
+  * ``sub_k`` = k - 1                       (``DefaultParam.java:75``)
+  * ``min_error_coverage`` defaults to 4 * the *default* ``min_kmer_coverage``
+    (= 8), and is NOT re-derived when ``-cover`` is changed — the reference
+    keeps the constructed value (``DefaultParam.java:106``; the re-derivation
+    at ``Parameter.java:482`` is commented out).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+DEFAULT_KLIST: Tuple[int, ...] = (23, 31, 41, 53, 67, 81, 95)  # DefaultParam.java:87
+
+
+@dataclasses.dataclass(frozen=True)
+class Params:
+    """All assembly tunables. Defaults match ``util/DefaultParam.java``."""
+
+    # k-mer geometry
+    k: int = 31                       # DefaultParam.java:74
+    klist: Tuple[int, ...] = DEFAULT_KLIST
+
+    # coverage filters
+    min_kmer_coverage: int = 2        # DefaultParam.java:104
+    max_kmer_coverage: int = 10_000_000   # DefaultParam.java:105
+    min_error_coverage: int = 8       # DefaultParam.java:106 (4 * default cover)
+
+    # contig output
+    min_contig: int = 500             # DefaultParam.java:108
+
+    # bubble/fork removal
+    bubble: bool = True               # DefaultParam.java:109
+
+    # iteration schedule
+    max_iterations: int = 150         # DefaultParam.java:115
+    min_iterations: int = 15          # DefaultParam.java:116
+
+    # read clipping
+    front_clip: int = 0               # DefaultParam.java:120
+    end_clip: int = 0                 # DefaultParam.java:121
+
+    # IO
+    input_fastq: Optional[str] = None
+    input_fasta: Optional[str] = None
+    input_kmer: Optional[str] = None   # pre-counted k-mers (-kmerc)
+    input_contig: Optional[str] = None  # fragments for reassembly (-frag)
+    output_path: Optional[str] = None
+    gzip_output: bool = False
+
+    # execution
+    partitions: int = 0               # informational; sharding is mesh-driven
+    cache: bool = False
+    sensitive: bool = False           # -accurate: enables mercy k-mers
+
+    @property
+    def sub_k(self) -> int:
+        """Sub-kmer size (k-1), the sort key width. DefaultParam.java:75."""
+        return self.k - 1
+
+    def with_cover(self, cover: int) -> "Params":
+        return dataclasses.replace(self, min_kmer_coverage=cover)
+
+    def validate(self) -> None:
+        if not (3 <= self.k <= 99):
+            raise ValueError(f"k={self.k} out of supported range [3, 99]")
+        if self.min_kmer_coverage < 1:
+            raise ValueError("min_kmer_coverage must be >= 1")

@@ -1,0 +1,65 @@
+import numpy as np
+import jax.numpy as jnp
+
+from reflexiv_tpu import bitpack, count
+from reflexiv_tpu.io import reads_to_matrix
+from oracle import count_kmers as oracle_count
+
+
+def _random_reads(rng, genome_len=300, n_reads=60, read_len=50):
+    genome = "".join(rng.choice(list("ACGT")) for _ in range(genome_len))
+    reads = []
+    for _ in range(n_reads):
+        start = rng.randrange(genome_len - read_len)
+        r = genome[start:start + read_len]
+        if rng.random() < 0.5:
+            r = r[::-1].translate(str.maketrans("ACGT", "TGCA"))
+        reads.append(r)
+    return reads
+
+
+def _table_to_dict(limbs, counts, k):
+    out = {}
+    for row, c in zip(limbs, counts):
+        out[bitpack.decode_to_str(
+            np.asarray(bitpack.unpack_bases(jnp.asarray(row), k)))] = int(c)
+    return out
+
+
+def test_count_matches_oracle():
+    import random
+    rng = random.Random(7)
+    reads = _random_reads(rng)
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    for k, min_cov in ((15, 1), (21, 2), (31, 1)):
+        limbs, counts = count.count_kmers(
+            mat, lens, k=k, min_cov=min_cov)
+        got = _table_to_dict(limbs, counts, k)
+        want = oracle_count(reads, k, min_cov=min_cov)
+        assert got == want
+
+
+def test_count_respects_clipping_and_short_reads():
+    reads = ["ACGTACGTACGTACGTA", "ACGTACGTACGTACG"]  # 17bp and 15bp
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    k = 13
+    # 15bp read: 15 - 13 - 0 <= 1 -> whole read skipped (ReflexivDSMain.java:3968)
+    limbs, counts = count.count_kmers(mat, lens, k=k, min_cov=1)
+    want = oracle_count(reads, k, min_cov=1)
+    assert _table_to_dict(limbs, counts, k) == want
+
+    limbs, counts = count.count_kmers(
+        mat, lens, k=k, min_cov=1, front_clip=2, end_clip=1)
+    want = oracle_count(reads, k, min_cov=1, front_clip=2, end_clip=1)
+    assert _table_to_dict(limbs, counts, k) == want
+
+
+def test_max_coverage_band():
+    reads = ["AAAAAAAAAAAAAAAAAAAA"] * 5 + ["ACGTACGTACGTACGTACGT"]
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    k = 15
+    limbs, counts = count.count_kmers(mat, lens, k=k, min_cov=1, max_cov=4)
+    got = _table_to_dict(limbs, counts, k)
+    want = oracle_count(reads, k, min_cov=1, max_cov=4)
+    assert got == want
+    assert all(c <= 4 for c in got.values())
