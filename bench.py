@@ -1,0 +1,127 @@
+"""Benchmark: k-mer counting throughput on-chip + example assembly parity.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Primary metric: canonical 31-mer counting throughput (million k-mers/sec/chip)
+on the reference example reads tiled to a bench-scale batch, run on the
+default JAX backend (the real TPU chip when available).
+
+vs_baseline: end-to-end example assembly speedup vs the reference's implied
+wall-clock. The reference publishes no numbers; its docs' "Test run" console
+transcript implies ~90 s for `reflexiv run -kmer 31 -cover 3` on the example
+pair (start 13:58:38, outputs mtime 14:00 — BASELINE.md). We run the same
+assembly (subprocess, CPU backend for deterministic timing) and verify golden
+parity (single 4,558 bp contig pair) before reporting.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_EXAMPLE_WALL_S = 90.0
+EXAMPLE = "/root/reference/example/paired_dat*.fq.gz"
+
+
+def bench_counting(tile: int = 64, iters: int = 3):
+    import jax
+    import jax.numpy as jnp
+    from reflexiv_tpu.count import extract_canonical_kmers, sort_count_filter
+    from reflexiv_tpu.io import load_reads
+
+    mat, lens = load_reads(EXAMPLE)
+    mat = np.tile(mat, (tile, 1))
+    lens = np.tile(lens, tile)
+    R, L = mat.shape
+    k = 31
+    n_kmers_valid = int(np.sum(np.maximum(lens - k + 1, 0)))
+
+    bases = jnp.asarray(mat)
+    lengths = jnp.asarray(lens)
+
+    def run_to_completion():
+        limbs, valid = extract_canonical_kmers(bases, lengths, k=k)
+        out = sort_count_filter(limbs, valid, min_cov=3, max_cov=10_000_000)
+        # force completion with a host fetch: block_until_ready is a no-op on
+        # the experimental axon platform
+        np.asarray(out[1][:8])
+        return out
+
+    run_to_completion()  # warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run_to_completion()
+    dt = (time.perf_counter() - t0) / iters
+    dev = jax.devices()[0]
+    return {
+        "kmers_per_sec": n_kmers_valid / dt,
+        "n_kmers": n_kmers_valid,
+        "seconds_per_pass": dt,
+        "device": str(dev),
+        "platform": dev.platform,
+    }
+
+
+def bench_assembly_subprocess():
+    """Run the golden example assembly in a clean CPU process; verify parity."""
+    code = r"""
+import json, time
+import jax; jax.config.update("jax_platforms", "cpu")
+from reflexiv_tpu import Params
+from reflexiv_tpu.io import load_reads
+from reflexiv_tpu.assembler import assemble_reads
+from reflexiv_tpu.contigs import canonical_set
+t0 = time.time()
+mat, lens = load_reads("%s")
+contigs = assemble_reads(mat, lens, Params(k=31, min_kmer_coverage=3), seed=0)
+wall = time.time() - t0
+canon = canonical_set(contigs)
+print(json.dumps({
+    "wall_s": wall,
+    "n_contigs": len(contigs),
+    "canonical": len(canon),
+    "lengths": sorted(len(c) for c in canon),
+}))
+""" % EXAMPLE
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True,
+        timeout=900, cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"assembly bench failed:\n{out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    counting = bench_counting()
+    assembly = bench_assembly_subprocess()
+    golden = (
+        assembly["canonical"] == 1 and assembly["lengths"] == [4558]
+    )
+    result = {
+        "metric": "kmer_counting_throughput",
+        "value": round(counting["kmers_per_sec"] / 1e6, 3),
+        "unit": "Mkmers/s/chip",
+        "vs_baseline": round(
+            REFERENCE_EXAMPLE_WALL_S / assembly["wall_s"], 2
+        ) if golden else 0.0,
+        "extra": {
+            "platform": counting["platform"],
+            "count_pass_s": round(counting["seconds_per_pass"], 4),
+            "n_kmers": counting["n_kmers"],
+            "assembly_wall_s": round(assembly["wall_s"], 2),
+            "golden_parity": golden,
+            "contig_lengths": assembly["lengths"],
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
