@@ -1,0 +1,215 @@
+"""Command-line interface mirroring the reference launcher.
+
+Command dispatch follows ``bin/reflexiv:252-268`` and the per-command main
+classes (``main/Main.java`` etc.); option names follow
+``util/Parameter.java:68-104`` (same flags, one leading dash). The Spark
+``--``-prefixed layer has no equivalent — device placement is JAX's.
+
+Usage examples (cf. docs/example.html "Test run"):
+
+    python -m reflexiv_tpu.cli run -fastq './example/paired_dat*.fq.gz' \
+        -outfile ./result -kmer 31 -cover 3
+    python -m reflexiv_tpu.cli counter -fastq reads.fq.gz -outfile ./out -kmer 31
+    python -m reflexiv_tpu.cli meta -fastq reads.fq.gz -outfile ./out
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import os
+import sys
+import time
+
+from . import __version__
+from .params import DEFAULT_KLIST, Params
+
+log = logging.getLogger("reflexiv_tpu")
+
+COMMANDS = (
+    "run", "meta", "counter", "reduce", "reassembler",
+    "merger", "mercy", "preprocess", "stitch",
+)
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    # input (Parameter.java:68-104 option names)
+    p.add_argument("-fastq", help="input FASTQ file(s), glob/comma list")
+    p.add_argument("-fasta", help="input FASTA file(s)")
+    p.add_argument("-kmerc", help="counted k-mer CSV input (skip counting)")
+    p.add_argument("-frag", help="pre-assembled contig/fragment FASTA")
+    p.add_argument("-outfile", required=True, help="output directory")
+    # k-mer geometry
+    p.add_argument("-kmer", type=int, default=31, help="k-mer size (default 31)")
+    p.add_argument("-klist", default=",".join(map(str, DEFAULT_KLIST)),
+                   help="comma list of k sizes for dynamic assembly")
+    # coverage
+    p.add_argument("-cover", type=int, default=2,
+                   help="min k-mer coverage (default 2)")
+    p.add_argument("-maxcov", type=int, default=10_000_000,
+                   help="max k-mer coverage")
+    p.add_argument("-error", type=int, default=None,
+                   help="min error-correction coverage (default 4*2)")
+    # contig / iteration
+    p.add_argument("-mincontig", type=int, default=500,
+                   help="min contig length to report")
+    p.add_argument("-maxiter", type=int, default=150)
+    p.add_argument("-miniter", type=int, default=15)
+    p.add_argument("-bubble", action="store_true", default=True)
+    # clipping
+    p.add_argument("-clipf", type=int, default=0, help="front clip")
+    p.add_argument("-clipe", type=int, default=0, help="end clip")
+    # misc
+    p.add_argument("-gzip", action="store_true", help="gzip outputs")
+    p.add_argument("-accurate", action="store_true",
+                   help="sensitive mode (mercy k-mers)")
+    p.add_argument("-partition", type=int, default=0)
+    p.add_argument("-seed", type=int, default=0,
+                   help="orientation-draw seed (TPU build extra)")
+
+
+def params_from_args(args: argparse.Namespace) -> Params:
+    return Params(
+        k=args.kmer,
+        klist=tuple(int(x) for x in args.klist.split(",")),
+        min_kmer_coverage=args.cover,
+        max_kmer_coverage=args.maxcov,
+        # the reference keeps minErrorCoverage at its constructed default
+        # (4 * default cover = 8) unless -error is given; see params.py
+        min_error_coverage=args.error if args.error is not None else 8,
+        min_contig=args.mincontig,
+        max_iterations=args.maxiter,
+        min_iterations=args.miniter,
+        front_clip=args.clipf,
+        end_clip=args.clipe,
+        input_fastq=args.fastq,
+        input_fasta=args.fasta,
+        input_kmer=args.kmerc,
+        input_contig=args.frag,
+        output_path=args.outfile,
+        gzip_output=args.gzip,
+        partitions=args.partition,
+        sensitive=args.accurate,
+    )
+
+
+def _load_read_matrix(params: Params):
+    from .io import load_reads
+
+    pattern = params.input_fastq or params.input_fasta
+    if not pattern:
+        raise SystemExit("error: provide -fastq or -fasta input")
+    return load_reads(pattern)
+
+
+def cmd_counter(params: Params, seed: int) -> None:
+    """K-mer counting only (MainOfCounter -> ReflexivDataFrameCounter)."""
+    from .count import count_kmers
+    from .kmer_io import write_count_table
+
+    mat, lens = _load_read_matrix(params)
+    limbs, counts = count_kmers(
+        mat, lens, k=params.k,
+        min_cov=params.min_kmer_coverage, max_cov=params.max_kmer_coverage,
+        front_clip=params.front_clip, end_clip=params.end_clip,
+    )
+    out_dir = os.path.join(params.output_path, f"Count_{params.k}")
+    path = write_count_table(out_dir, limbs, counts, params.k,
+                             gzip_output=True)
+    log.info("wrote %d k-mers to %s", len(counts), path)
+
+
+def cmd_run(params: Params, seed: int) -> None:
+    """Single-k assembly (Main -> ReflexivDSMain.assembly)."""
+    from .assembler import assemble_from_counts, assemble_reads
+    from .io import write_contigs_fasta, write_success_marker
+    from .kmer_io import read_count_table
+
+    if params.input_kmer:
+        limbs, counts = read_count_table(params.input_kmer, params.k)
+        # coverage band applies to pre-counted input too
+        keep = (counts >= params.min_kmer_coverage) & (
+            counts <= params.max_kmer_coverage)
+        contigs = assemble_from_counts(
+            limbs[keep], counts[keep], params, seed=seed)
+    else:
+        mat, lens = _load_read_matrix(params)
+        contigs = assemble_reads(mat, lens, params, seed=seed)
+    out = params.output_path
+    write_contigs_fasta(os.path.join(out, "part-00000"), contigs,
+                        gzip_output=params.gzip_output)
+    write_success_marker(out)
+    log.info("wrote %d contigs to %s", len(contigs), out)
+
+
+def cmd_meta(params: Params, seed: int) -> None:
+    """Dynamic multi-k assembly (MainMeta -> staged dynamic pipe)."""
+    from .dynamic import dynamic_assembly
+
+    dynamic_assembly(params, seed=seed)
+
+
+def cmd_reduce(params: Params, seed: int) -> None:
+    """Multi-k counting + sorting + reduction (MainOfReduce)."""
+    from .dynamic import dynamic_reduction
+
+    dynamic_reduction(params, seed=seed)
+
+
+def cmd_reassembler(params: Params, seed: int) -> None:
+    from .reassemble import reassemble
+
+    reassemble(params, seed=seed)
+
+
+def cmd_merger(params: Params, seed: int) -> None:
+    from .merger import merge_contigs_cmd
+
+    merge_contigs_cmd(params)
+
+
+def cmd_mercy(params: Params, seed: int) -> None:
+    from .mercy import mercy_assembly
+
+    mercy_assembly(params, seed=seed)
+
+
+def cmd_preprocess(params: Params, seed: int) -> None:
+    from .preprocess import preprocess
+
+    preprocess(params)
+
+
+def cmd_stitch(params: Params, seed: int) -> None:
+    from .stitch import stitch
+
+    stitch(params, seed=seed)
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="Reflexiv %(asctime)s %(message)s", datefmt="%H:%M:%S",
+    )
+    parser = argparse.ArgumentParser(
+        prog="reflexiv-tpu",
+        description="TPU-native de novo genome assembler "
+                    f"(v{__version__}; Reflexiv method)",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+    for cmd in COMMANDS:
+        sp = sub.add_parser(cmd)
+        _add_common(sp)
+    args = parser.parse_args(argv)
+    params = params_from_args(args)
+    params.validate()
+
+    t0 = time.time()
+    handler = globals()[f"cmd_{args.command}"]
+    handler(params, args.seed)
+    log.info("%s finished in %.1f s", args.command, time.time() - t0)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

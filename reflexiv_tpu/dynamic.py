@@ -1,0 +1,685 @@
+"""Dynamic multi-k subsystem: the production ``meta``/``reduce`` path.
+
+Re-implements the reference's dynamic-k pipeline (SURVEY.md section 2.7) as
+fixed-shape array programs:
+
+  * **per-k sorting** (``ReflexivDSKmerLeftAndRightSorting``): counted k-mers
+    -> RC expansion + both-direction fork filters -> full k-mers annotated
+    with (marker, left, right);
+  * **pairwise (k1,k2) reduction** (``ReflexivDSDynamicKmerRuduction``):
+      - pass A, right-end variant adjustment
+        (``LeftLongerKmerVariantAdjustment``, active rules at
+        ``:1970-1983,2063-2076``): group rows on the k1-1 bases ending one
+        before the last base; a k2-mer whose group holds a k1-mer inherits
+        right-extendability (right := -1 when the k1-mer's right < 0) and the
+        k1-mer's final-base variant;
+      - pass B, left-end mirror + neutralization
+        (``RightLongerKmerVariantAdjustmentAndNeutralization``): group on
+        bases [1, k1); longs inherit left-extendability and the first-base
+        variant; k1-mers whose first base matches a group k2-mer are dropped
+        (they are now a prefix of that k2-mer);
+      - pass C, prefix subsumption (``ShorterKmerNeutralization``, active
+        block at ``:2661-2692``): after a full lexicographic sort, a shorter
+        k-mer that is a prefix of its successor longer k-mer is dropped.
+    Both strands are present throughout, so prefix rules cover suffix
+    containment via the reverse complement.
+  * **mixed-k extension** (``ReflexivDSDynamicKmerIteration``): records carry
+    their own sub-kmer length (k_class - 1); groups form on the k_min-1 bases
+    at the marker end; a reflected record merges with a forward record iff
+    the reflected sub-kmer is a prefix of the forward one
+    (``dynamicSubKmerComparator``, ``:740-768``; merge direction gate at
+    ``:551-555``), with the extraLength-adjusted blocked-distance gate of
+    ``:556-575`` and attr propagation of the dynamic ``reflexivExtend``.
+  * **fixing** (``ReflexivDSDynamicKmerFixing``, simplified): contigs re-enter
+    extension keyed on fixed 31-mer ends; only unique end-overlap pairs join.
+  * **dedup** (``ReflexivDSDynamicKmerDedup``): containment removal over both
+    strands (host-side exact substring containment; the reference seeds with
+    shared marker k-mers then verifies).
+
+Deviations from the reference are deliberate, order-independent
+strengthenings of its scan-order-dependent sliding-window rules; each is
+noted inline.
+"""
+from __future__ import annotations
+
+import functools
+import logging
+import os
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import count as count_mod
+from .bitpack import mix32, pack_bases
+from .graph import build_initial_records
+from .params import Params
+from .records import next_pow2
+
+log = logging.getLogger("reflexiv_tpu")
+
+
+class DynRecords(NamedTuple):
+    """Mixed-k record set: each row knows its own sub-kmer length."""
+
+    seq: jnp.ndarray     # (N, L) uint8
+    length: jnp.ndarray  # (N,) int32
+    subk: jnp.ndarray    # (N,) int32 — sub-kmer (join overlap) length
+    left: jnp.ndarray    # (N,) int32
+    right: jnp.ndarray   # (N,) int32
+    live: jnp.ndarray    # (N,) bool
+
+    @property
+    def capacity(self) -> int:
+        return self.seq.shape[0]
+
+    @property
+    def seq_capacity(self) -> int:
+        return self.seq.shape[1]
+
+
+def _segments_from_keys(keys: jnp.ndarray, live: jnp.ndarray):
+    """Sort rows by packed keys; return (order, seg_id, sorted arrays helper)."""
+    Wp = keys.shape[1]
+    keyed = jnp.where(live[:, None], keys, jnp.uint32(0xFFFFFFFF))
+    order = jnp.lexsort(tuple(keyed[:, i] for i in range(Wp - 1, -1, -1)))
+    skey = keyed[order]
+    prev = jnp.roll(skey, 1, axis=0)
+    is_start = jnp.any(skey != prev, axis=1)
+    is_start = is_start.at[0].set(True)
+    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    return order, seg
+
+
+def _gather_window(seq: jnp.ndarray, start: jnp.ndarray, width: int):
+    """(N, width) window of each row starting at per-row ``start`` (clipped)."""
+    L = seq.shape[1]
+    idx = jnp.clip(
+        start[:, None] + jnp.arange(width, dtype=jnp.int32)[None, :], 0, L - 1
+    )
+    return jnp.take_along_axis(seq, idx, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# per-k sorting stage
+# ---------------------------------------------------------------------------
+
+def sort_k_records(
+    kmer_limbs: np.ndarray, counts: np.ndarray, k: int, params: Params
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Counted k-mers -> (bases (M,k), left (M,), right (M,)) survivors.
+
+    The TPU analog of ``ReflexivDSKmerLeftAndRightSorting.assemblyFromKmer``
+    (``:105-243``): fork-filter both directions, keep the annotated full
+    k-mer set (both strands).
+    """
+    recs, _marker = build_initial_records(
+        jnp.asarray(kmer_limbs), jnp.asarray(counts), k=k,
+        min_error=params.min_error_coverage,
+    )
+    live = np.asarray(recs.live)
+    bases = np.asarray(recs.seq)[live][:, :k]
+    return bases, np.asarray(recs.left)[live], np.asarray(recs.right)[live]
+
+
+# ---------------------------------------------------------------------------
+# pairwise reduction
+# ---------------------------------------------------------------------------
+
+def _variant_pass(
+    seq, length, left, right, live, *, k1: int, anchor: str
+):
+    """One variant-adjustment pass (A: right end, B: left end + drop plan).
+
+    anchor='right': key = bases[len-k1 : len-1], variant base = last base.
+    anchor='left' : key = bases[1 : k1],        variant base = first base.
+    Returns updated (seq, left/right) and, for anchor='left', a drop mask for
+    shorts whose variant base matches a long in their group.
+    """
+    N = seq.shape[0]
+    width = k1 - 1
+    if anchor == "right":
+        start = length - k1
+        vpos = length - 1
+    else:
+        start = jnp.ones_like(length)
+        vpos = jnp.zeros_like(length)
+    win = _gather_window(seq, start, width)
+    keys = pack_bases(win, width)
+    order, seg = _segments_from_keys(keys, live)
+
+    slen = length[order]
+    sleft = left[order]
+    sright = right[order]
+    slive = live[order]
+    svpos = vpos[order]
+    svar = jnp.take_along_axis(seq[order], svpos[:, None], axis=1)[:, 0]
+
+    is_short = slive & (slen == k1)
+    is_long = slive & (slen > k1)
+    idx = jnp.arange(N, dtype=jnp.int32)
+
+    # first short per group supplies the variant base and end-extendability
+    first_short = jax.ops.segment_min(
+        jnp.where(is_short, idx, N), seg, num_segments=N
+    )[seg]
+    has_short = first_short < N
+    fs = jnp.minimum(first_short, N - 1)
+    short_attr = sright[fs] if anchor == "right" else sleft[fs]
+    short_var = svar[fs]
+
+    # longs inherit extendability when the short end is extendable
+    attr = sright if anchor == "right" else sleft
+    new_attr = jnp.where(
+        is_long & has_short & (short_attr < 0) & (attr >= 0), -1, attr
+    )
+    # longs inherit the short's variant base
+    new_var = jnp.where(is_long & has_short, short_var, svar)
+    sseq = seq[order]
+    sseq = jnp.where(
+        (jnp.arange(sseq.shape[1], dtype=jnp.int32)[None, :] == svpos[:, None])
+        & (is_long & has_short)[:, None],
+        new_var[:, None].astype(sseq.dtype),
+        sseq,
+    )
+
+    drop = jnp.zeros(N, dtype=bool)
+    if anchor == "left":
+        # drop shorts whose variant base matches any long's (adjusted) base
+        onehot = (
+            jnp.arange(4, dtype=jnp.int32)[None, :]
+            == new_var[:, None].astype(jnp.int32)
+        ) & is_long[:, None]
+        long_bases = jax.ops.segment_max(
+            onehot.astype(jnp.int32), seg, num_segments=N
+        )[seg]
+        own = jnp.take_along_axis(
+            long_bases, svar[:, None].astype(jnp.int32), axis=1
+        )[:, 0]
+        drop = is_short & (own > 0)
+
+    inv = jnp.argsort(order)
+    out_seq = sseq[inv]
+    out_attr = new_attr[inv]
+    out_drop = drop[inv]
+    if anchor == "right":
+        return out_seq, left, out_attr, out_drop
+    return out_seq, out_attr, right, out_drop
+
+
+@functools.partial(jax.jit, static_argnames=("k1", "kpad"))
+def _reduce_pair_device(seq, length, left, right, live, *, k1: int, kpad: int):
+    """Passes A, B and C of the (k1, k2) reduction on a mixed padded set."""
+    # pass A: right-end variant adjustment
+    seq, left, right, _ = _variant_pass(
+        seq, length, left, right, live, k1=k1, anchor="right"
+    )
+    # pass B: left-end variant adjustment + matching-short drop
+    seq, left, right, dropB = _variant_pass(
+        seq, length, left, right, live, k1=k1, anchor="left"
+    )
+    live = live & ~dropB
+
+    # pass C: prefix subsumption on the full k-mer (pad value 0 == 'A' sorts
+    # a short key immediately before any longer key sharing its prefix)
+    col = jnp.arange(seq.shape[1], dtype=jnp.int32)[None, :]
+    padded = jnp.where(col < length[:, None], seq, 0)
+    keys = pack_bases(padded[:, :kpad], kpad)
+    Wp = keys.shape[1]
+    keyed = jnp.where(live[:, None], keys, jnp.uint32(0xFFFFFFFF))
+    order = jnp.lexsort(
+        (length,) + tuple(keyed[:, i] for i in range(Wp - 1, -1, -1))
+    )
+    slen = length[order]
+    slive = live[order]
+    skey = keyed[order]
+    nxt_key = jnp.roll(skey, -1, axis=0)
+    nxt_len = jnp.roll(slen, -1)
+    nxt_live = jnp.roll(slive, -1)
+    # successor starts with me iff our packed keys agree on my first `len`
+    # bases; compare via masked base window
+    sseq = jnp.where(col < length[:, None], seq, 0)[order]
+    nxt_seq = jnp.roll(sseq, -1, axis=0)
+    same_prefix = jnp.all(
+        jnp.where(col < slen[:, None], sseq == nxt_seq, True), axis=1
+    )
+    contained = slive & nxt_live & (nxt_len > slen) & same_prefix
+    new_live = slive & ~contained
+    inv = jnp.argsort(order)
+    return seq, left, right, new_live[inv]
+
+
+def reduce_k_pair(
+    shorts: Tuple[np.ndarray, np.ndarray, np.ndarray],
+    longs: Tuple[np.ndarray, np.ndarray, np.ndarray],
+    k1: int,
+    k2: int,
+) -> Tuple[Tuple[np.ndarray, ...], Tuple[np.ndarray, ...]]:
+    """Reduce (k1_sorted, k2_sorted) -> (k1_reduced, k2_adjusted).
+
+    Each side is (bases, left, right). Mirrors the job flow of
+    ``ReflexivDSDynamicKmerRuduction.assemblyFromKmer`` (``:143-287``).
+    """
+    b1, l1, r1 = shorts
+    b2, l2, r2 = longs
+    n1, n2 = len(b1), len(b2)
+    L = k2
+    seq = np.zeros((n1 + n2, L), dtype=np.uint8)
+    seq[:n1, :k1] = b1
+    seq[n1:, :k2] = b2
+    length = np.concatenate([np.full(n1, k1, np.int32), np.full(n2, k2, np.int32)])
+    left = np.concatenate([l1, l2]).astype(np.int32)
+    right = np.concatenate([r1, r2]).astype(np.int32)
+    live = np.ones(n1 + n2, dtype=bool)
+
+    seq_j, left_j, right_j, live_j = _reduce_pair_device(
+        jnp.asarray(seq), jnp.asarray(length), jnp.asarray(left),
+        jnp.asarray(right), jnp.asarray(live), k1=k1, kpad=k2,
+    )
+    seq_o = np.asarray(seq_j)
+    left_o = np.asarray(left_j)
+    right_o = np.asarray(right_j)
+    live_o = np.asarray(live_j)
+    keep1 = live_o[:n1]
+    shorts_out = (seq_o[:n1][keep1][:, :k1], left_o[:n1][keep1],
+                  right_o[:n1][keep1])
+    keep2 = live_o[n1:]
+    longs_out = (seq_o[n1:][keep2][:, :k2], left_o[n1:][keep2],
+                 right_o[n1:][keep2])
+    return shorts_out, longs_out
+
+
+# ---------------------------------------------------------------------------
+# mixed-k extension
+# ---------------------------------------------------------------------------
+
+def _draw_markers_dyn(recs: DynRecords, round_seed: int) -> jnp.ndarray:
+    n16 = min(16, recs.seq_capacity)
+    head = pack_bases(recs.seq[:, :n16], n16)[:, 0]
+    tail = pack_bases(
+        _gather_window(recs.seq, jnp.maximum(recs.length - n16, 0), n16), n16
+    )[:, 0]
+    h = mix32(
+        head ^ ((tail << 16) | (tail >> 16))
+        ^ recs.length.astype(jnp.uint32)
+        ^ jnp.uint32((round_seed * 0x9E3779B9) & 0xFFFFFFFF)
+    )
+    return jnp.where(recs.live, 1 + (h & 1).astype(jnp.int32), 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kmin", "kmax", "unique_only")
+)
+def dyn_extension_round_with_markers(
+    recs: DynRecords,
+    marker: jnp.ndarray,
+    *,
+    kmin: int,
+    kmax: int,
+    unique_only: bool = False,
+) -> DynRecords:
+    """One mixed-k sort -> join round.
+
+    ``unique_only=True`` additionally requires the group to contain exactly
+    one forward and one reflected record (the fixing stage's safe-join rule).
+    """
+    N, L = recs.seq.shape
+    gw = kmin - 1  # group key width
+
+    key_start = jnp.where(marker == 1, 0, recs.length - recs.subk)
+    keys = pack_bases(_gather_window(recs.seq, key_start, gw), gw)
+    order, seg = _segments_from_keys(keys, recs.live)
+
+    sseq = recs.seq[order]
+    slen = recs.length[order]
+    ssub = recs.subk[order]
+    sleft = recs.left[order]
+    sright = recs.right[order]
+    slive = recs.live[order]
+    smarker = marker[order]
+
+    idx = jnp.arange(N, dtype=jnp.int32)
+    fwd_first = jax.ops.segment_min(
+        jnp.where(slive & (smarker == 1), idx, N), seg, num_segments=N
+    )[seg]
+    refl_first = jax.ops.segment_min(
+        jnp.where(slive & (smarker == 2), idx, N), seg, num_segments=N
+    )[seg]
+    has_pair = (fwd_first < N) & (refl_first < N)
+    if unique_only:
+        n_fwd = jax.ops.segment_sum(
+            (slive & (smarker == 1)).astype(jnp.int32), seg, num_segments=N
+        )[seg]
+        n_refl = jax.ops.segment_sum(
+            (slive & (smarker == 2)).astype(jnp.int32), seg, num_segments=N
+        )[seg]
+        has_pair = has_pair & (n_fwd == 1) & (n_refl == 1)
+
+    f = jnp.minimum(fwd_first, N - 1)
+    r = jnp.minimum(refl_first, N - 1)
+    f_len, f_sub, f_left, f_right = slen[f], ssub[f], sleft[f], sright[f]
+    r_len, r_sub, r_left, r_right = slen[r], ssub[r], sleft[r], sright[r]
+    f_ext = f_len - f_sub
+    r_ext = r_len - r_sub
+    extra = f_sub - r_sub
+
+    # dynamicSubKmerComparator: refl sub-kmer must be a prefix of fwd sub-kmer
+    col = jnp.arange(L, dtype=jnp.int32)[None, :]
+    f_head = sseq[f]
+    r_tail = _gather_window(sseq[r], r_len - r_sub, L)
+    prefix_ok = jnp.all(
+        jnp.where(col < r_sub[:, None], f_head == r_tail, True), axis=1
+    ) & (r_sub <= f_sub)
+
+    c1 = (f_left < 0) & (r_right < 0)
+    c2 = (f_left >= 0) & (r_right >= 0)
+    c3 = (~c1) & (~c2) & (f_left >= 0) & (f_left - r_ext >= 0)
+    c4 = (~c1) & (~c2) & (~c3) & (r_right >= 0) & (r_right - f_ext - extra >= 0)
+    merge = has_pair & prefix_ok & (c1 | c2 | c3 | c4)
+    bubble = jnp.where(c1 | c2, -1, jnp.where(c3, f_left - r_ext, r_right - f_ext))
+
+    # attr propagation of the dynamic reflexivExtend
+    left_free = jnp.where(r_left >= 0, r_left, f_left - r_ext)
+    right_free = jnp.where(f_right >= 0, f_right, r_right - f_ext - extra)
+    new_left = jnp.where(bubble < 0, left_free,
+                         jnp.where(f_left > 0, bubble, left_free))
+    new_right = jnp.where(bubble < 0, right_free,
+                          jnp.where(f_left > 0, right_free, bubble - extra))
+
+    new_len = r_len + f_len - r_sub
+    from_r = col < r_len[:, None]
+    f_src = jnp.clip(col - r_len[:, None] + r_sub[:, None], 0, L - 1)
+    merged_seq = jnp.where(
+        from_r, sseq[r], jnp.take_along_axis(sseq[f], f_src, axis=1)
+    )
+
+    i_am_fwd = merge & (idx == fwd_first)
+    i_am_refl = merge & (idx == refl_first)
+
+    out_seq = jnp.where(i_am_fwd[:, None], merged_seq, sseq)
+    out_len = jnp.where(i_am_fwd, new_len, slen)
+    out_sub = jnp.where(i_am_fwd, f_sub, ssub)
+    out_left = jnp.where(i_am_fwd, new_left, sleft)
+    out_right = jnp.where(i_am_fwd, new_right, sright)
+    out_live = slive & ~i_am_refl
+    return DynRecords(out_seq, out_len, out_sub, out_left, out_right, out_live)
+
+
+def dyn_extension_round(recs, *, kmin, kmax, round_seed, unique_only=False):
+    marker = _draw_markers_dyn(recs, round_seed)
+    return dyn_extension_round_with_markers(
+        recs, marker, kmin=kmin, kmax=kmax, unique_only=unique_only
+    )
+
+
+def _compact_grow(recs: DynRecords, k_top: int) -> DynRecords:
+    """Host-side capacity management between rounds."""
+    live_n = int(jnp.sum(recs.live))
+    lens = jnp.where(recs.live, recs.length, 0)
+    top2 = jax.lax.top_k(lens, 2)[0]
+    need_len = int(top2[0] + top2[1])
+    cap_rows = max(next_pow2(live_n), 16)
+    cap_len = max(next_pow2(need_len), recs.seq_capacity)
+    order = jnp.argsort(~recs.live, stable=True)
+    take = order[:cap_rows]
+    seq = recs.seq[take]
+    if cap_len > seq.shape[1]:
+        seq = jnp.pad(seq, ((0, 0), (0, cap_len - seq.shape[1])))
+    return DynRecords(
+        seq, recs.length[take], recs.subk[take],
+        recs.left[take], recs.right[take], recs.live[take],
+    )
+
+
+def run_dyn_extension(
+    recs: DynRecords, params: Params, *, kmin: int, kmax: int,
+    seed: int = 0, unique_only: bool = False,
+    max_rounds: Optional[int] = None,
+) -> DynRecords:
+    """Iterate mixed-k rounds to fixpoint (cf. FirstFour + Iteration batches,
+    ``Pipelines.java:856-952``)."""
+    max_rounds = max_rounds or params.max_iterations
+    stable = 0
+    prev = int(jnp.sum(recs.live))
+    for it in range(1, max_rounds + 1):
+        recs = _compact_grow(recs, kmax)
+        recs = dyn_extension_round(
+            recs, kmin=kmin, kmax=kmax, round_seed=seed + it,
+            unique_only=unique_only,
+        )
+        n = int(jnp.sum(recs.live))
+        if n == prev:
+            stable += 1
+        else:
+            stable, prev = 0, n
+        if it >= params.min_iterations and stable >= 6:
+            break
+    return recs
+
+
+# ---------------------------------------------------------------------------
+# fixing + dedup + drivers
+# ---------------------------------------------------------------------------
+
+def fixing_rounds(
+    recs: DynRecords, params: Params, *, kfix: int = 31, seed: int = 1000,
+) -> DynRecords:
+    """Contig-end rejoin on fixed (kfix-1)-base overlaps, unique joins only.
+
+    Simplified ``ReflexivDSDynamicKmerFixing`` (``:125-259``): instead of
+    re-counting 31-mers from reads at fragment ends, join contig ends that
+    share a unique exact (kfix-1)-base overlap; ambiguity (any group with
+    more than one candidate) blocks the join, standing in for the reference's
+    fork filters on re-counted end k-mers.
+    """
+    sub = jnp.minimum(jnp.int32(kfix - 1), recs.length - 1)
+    eligible = recs.live & (recs.length >= kfix)
+    recs = recs._replace(
+        subk=jnp.where(eligible, sub, recs.subk),
+        left=jnp.where(eligible, -1, recs.left),
+        right=jnp.where(eligible, -1, recs.right),
+    )
+    return run_dyn_extension(
+        recs, params, kmin=kfix, kmax=kfix, seed=seed,
+        unique_only=True, max_rounds=48,
+    )
+
+
+def dedup_contigs(contigs: List[str]) -> List[str]:
+    """Drop contigs contained in a longer contig on either strand
+    (``ReflexivDSDynamicKmerDedup``, ``:138-340``). Host-side exact check."""
+    from .contigs import revcomp_str
+
+    out: List[str] = []
+    kept_fwd: List[str] = []
+    for s in sorted(set(contigs), key=len, reverse=True):
+        rc = revcomp_str(s)
+        contained = any(s in t or rc in t for t in kept_fwd)
+        if not contained:
+            kept_fwd.append(s)
+            out.append(s)
+    return out
+
+
+def records_from_sorted(
+    sets: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray, int]],
+) -> DynRecords:
+    """Stack per-k (bases, left, right, k) sets into one DynRecords pool."""
+    total = sum(len(b) for b, _, _, _ in sets)
+    kmax = max(k for _, _, _, k in sets)
+    cap = max(next_pow2(total), 16)
+    L = next_pow2(2 * kmax)
+    seq = np.zeros((cap, L), dtype=np.uint8)
+    length = np.zeros(cap, np.int32)
+    subk = np.ones(cap, np.int32)
+    left = np.zeros(cap, np.int32)
+    right = np.zeros(cap, np.int32)
+    live = np.zeros(cap, bool)
+    at = 0
+    for bases, l, r, k in sets:
+        n = len(bases)
+        seq[at:at + n, :k] = bases
+        length[at:at + n] = k
+        subk[at:at + n] = k - 1
+        left[at:at + n] = l
+        right[at:at + n] = r
+        live[at:at + n] = True
+        at += n
+    return DynRecords(
+        jnp.asarray(seq), jnp.asarray(length), jnp.asarray(subk),
+        jnp.asarray(left), jnp.asarray(right), jnp.asarray(live),
+    )
+
+
+def assemble_dynamic(
+    bases: np.ndarray,
+    lengths: np.ndarray,
+    params: Params,
+    *,
+    seed: int = 0,
+) -> List[Tuple[str, str]]:
+    """Full dynamic multi-k assembly from reads (the ``meta`` algorithm)."""
+    from .bitpack import decode_to_str
+    from .records import REPEAT_KILLED
+
+    klist = sorted(params.klist)
+    max_read = int(lengths.max()) if len(lengths) else 0
+    klist = [k for k in klist if k + 2 < max_read]
+    if not klist:
+        raise ValueError(
+            f"no usable k in klist for read length {max_read}")
+    # count + sort each k
+    sorted_sets = {}
+    for k in klist:
+        limbs, counts = count_mod.count_kmers(
+            bases, lengths, k=k,
+            min_cov=params.min_kmer_coverage,
+            max_cov=params.max_kmer_coverage,
+            front_clip=params.front_clip, end_clip=params.end_clip,
+        )
+        sorted_sets[k] = sort_k_records(limbs, counts, k, params)
+        log.info("k=%d: %d solid k-mers, %d sorted records",
+                 k, len(counts), len(sorted_sets[k][0]))
+
+    # pairwise reduction along the k ladder (Pipelines.java:1315-1737)
+    for k1, k2 in zip(klist, klist[1:]):
+        shorts, longs = reduce_k_pair(sorted_sets[k1], sorted_sets[k2], k1, k2)
+        sorted_sets[k1] = shorts
+        sorted_sets[k2] = longs
+        log.info("reduce %d vs %d: %d short k-mers kept", k1, k2,
+                 len(shorts[0]))
+
+    pool = records_from_sorted(
+        [(b, l, r, k) for k, (b, l, r) in sorted_sets.items()]
+    )
+    kmin, kmax = klist[0], klist[-1]
+    pool = run_dyn_extension(pool, params, kmin=kmin, kmax=kmax, seed=seed)
+    pool = fixing_rounds(pool, params, kfix=min(31, kmin), seed=seed + 1000)
+
+    seq, length, subk, left, right, live = (np.asarray(a) for a in pool)
+    raw = []
+    for i in np.nonzero(live)[0]:
+        if left[i] <= REPEAT_KILLED and right[i] <= REPEAT_KILLED:
+            continue
+        raw.append(decode_to_str(seq[i, :length[i]]))
+    raw = [s for s in raw if len(s) >= params.min_contig]
+    deduped = dedup_contigs(raw)
+    return [
+        (f">Contig-{len(s)}-{i}", s) for i, s in enumerate(deduped)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# CLI drivers with stage checkpoints
+# ---------------------------------------------------------------------------
+
+def dynamic_reduction(params: Params, *, seed: int = 0) -> None:
+    """``reduce`` command: per-k count + sort + pairwise reduce, with
+    ``_SUCCESS``-marker resume (cf. ``Pipelines.java:1315-1737``)."""
+    from .io import has_success_marker, load_reads
+    from .kmer_io import write_count_table
+
+    out = params.output_path
+    mat, lens = load_reads(params.input_fastq or params.input_fasta)
+    klist = sorted(k for k in params.klist if k + 2 < mat.shape[1])
+    sorted_sets = {}
+    for k in klist:
+        limbs, counts = count_mod.count_kmers(
+            mat, lens, k=k, min_cov=params.min_kmer_coverage,
+            max_cov=params.max_kmer_coverage,
+        )
+        cdir = os.path.join(out, f"Count_{k}")
+        if not has_success_marker(cdir):
+            write_count_table(cdir, limbs, counts, k)
+        sorted_sets[k] = sort_k_records(limbs, counts, k, params)
+    for k1, k2 in zip(klist, klist[1:]):
+        shorts, longs = reduce_k_pair(sorted_sets[k1], sorted_sets[k2], k1, k2)
+        sorted_sets[k1] = shorts
+        sorted_sets[k2] = longs
+        _write_sorted_set(os.path.join(out, f"Count_{k1}_reduced"),
+                          shorts, k1)
+    _write_sorted_set(os.path.join(out, f"Count_{klist[-1]}_reduced"),
+                      sorted_sets[klist[-1]], klist[-1])
+    log.info("reduction complete: %s", ", ".join(
+        f"k{k}={len(v[0])}" for k, v in sorted_sets.items()))
+
+
+def _write_sorted_set(directory, triple, k):
+    """Write ``KMERSTRING,marker|left|right`` rows (the sorted/reduced format,
+    ``DSBinaryFullKmerArrayToString``, LeftAndRightSorting ``:246-326``)."""
+    from .bitpack import decode_to_str
+    from .io import write_success_marker
+
+    bases, left, right = triple
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, "part-00000.csv"), "w") as fh:
+        for row, l, r in zip(bases, left, right):
+            fh.write(f"{decode_to_str(row)},1|{int(l)}|{int(r)}\n")
+    write_success_marker(directory)
+
+
+def read_sorted_set(pattern: str, k: int):
+    """Read a ``Count_<k>_sorted``/``_reduced`` table back."""
+    import gzip as _gz
+    from .bitpack import encode_ascii
+    from .io import expand_paths
+
+    rows, lefts, rights = [], [], []
+    for path in expand_paths(pattern):
+        parts = [path]
+        if os.path.isdir(path):
+            parts = sorted(
+                os.path.join(path, f) for f in os.listdir(path)
+                if f.startswith("part-"))
+        for part in parts:
+            opener = _gz.open if part.endswith(".gz") else open
+            with opener(part, "rt") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    km, _, attr = line.partition(",")
+                    _m, l, r = attr.split("|")
+                    rows.append(km)
+                    lefts.append(int(l))
+                    rights.append(int(r))
+    bases = np.stack([
+        encode_ascii(np.frombuffer(s.encode(), np.uint8)) for s in rows
+    ]) if rows else np.zeros((0, k), np.uint8)
+    return bases, np.asarray(lefts, np.int32), np.asarray(rights, np.int32)
+
+
+def dynamic_assembly(params: Params, *, seed: int = 0) -> None:
+    """``meta`` command driver: assemble + write contigs."""
+    from .io import load_reads, write_contigs_fasta, write_success_marker
+
+    mat, lens = load_reads(params.input_fastq or params.input_fasta)
+    contigs = assemble_dynamic(mat, lens, params, seed=seed)
+    out_dir = os.path.join(params.output_path, "Assembly")
+    write_contigs_fasta(
+        os.path.join(out_dir, "part-00000"), contigs,
+        gzip_output=params.gzip_output,
+    )
+    write_success_marker(out_dir)
+    log.info("meta assembly: %d contigs -> %s", len(contigs), out_dir)

@@ -1,0 +1,145 @@
+import random
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import oracle
+from reflexiv_tpu import dynamic
+from reflexiv_tpu.assembler import assemble_reads
+from reflexiv_tpu.contigs import canonical_contig
+from reflexiv_tpu.io import reads_to_matrix
+from reflexiv_tpu.params import Params
+
+
+def _mk(seqs_attrs, k):
+    """(seq, left, right) triple from a list of (kmer, left, right)."""
+    from reflexiv_tpu.bitpack import encode_ascii
+    bases = np.stack([
+        encode_ascii(np.frombuffer(s.encode(), np.uint8))
+        for s, _, _ in seqs_attrs]) if seqs_attrs else np.zeros((0, k), np.uint8)
+    left = np.asarray([l for _, l, _ in seqs_attrs], np.int32)
+    right = np.asarray([r for _, _, r in seqs_attrs], np.int32)
+    return bases, left, right
+
+
+def _to_set(triple, k):
+    from reflexiv_tpu.bitpack import decode_to_str
+    bases, left, right = triple
+    return {(decode_to_str(b), int(l), int(r))
+            for b, l, r in zip(bases, left, right)}
+
+
+def test_reduce_prefix_subsumption():
+    k1, k2 = 5, 8
+    shorts = [("ACGTA", -3, -3), ("GGGTT", -3, -3)]
+    longs = [("ACGTACCA", -3, -3), ("TTTTAAAA", -3, -3)]
+    s_out, l_out = dynamic.reduce_k_pair(_mk(shorts, k1), _mk(longs, k2), k1, k2)
+    s_set = _to_set(s_out, k1)
+    # ACGTA is a prefix of ACGTACCA -> neutralized; GGGTT survives
+    assert ("GGGTT", -3, -3) in s_set
+    assert all(s != "ACGTA" for s, _, _ in s_set)
+    assert len(_to_set(l_out, k2)) == 2
+
+
+def test_reduce_right_end_attr_inheritance():
+    k1, k2 = 5, 8
+    # short's first k1-1 bases == long's bases [k2-k1, k2-1): GTACC vs ..GTACC?
+    # long = AAAGTACC: window [3,7) = "TACC"[:... k1-1=4 bases ending one
+    # before last: long[3:7]="TAC C"? long[8-5:8-1]=long[3:7]="GTAC";
+    # short[0:4]="GTAC", short last base 'A', long last base 'C'
+    shorts = [("GTACA", -3, -9)]          # right extendable (-9)
+    longs = [("AAAGTACC", -3, 4)]         # right blocked (4)
+    s_out, l_out = dynamic.reduce_k_pair(_mk(shorts, k1), _mk(longs, k2), k1, k2)
+    l_set = _to_set(l_out, k2)
+    # long inherits right extendability (-1) and the short's final base 'A'
+    assert ("AAAGTACA", -3, -1) in l_set
+
+
+def test_dyn_round_matches_fixed_k_semantics():
+    # all records same k: one dyn round must merge the same pairs as the
+    # fixed-k oracle (sequence-level)
+    rng = random.Random(5)
+    k = 11
+    genome = "".join(rng.choice("ACGT") for _ in range(100))
+    orecs = oracle.build_records([genome, genome], k, 1, 8)
+    pool = dynamic.records_from_sorted([
+        (np.stack([
+            __import__("reflexiv_tpu.bitpack", fromlist=["encode_ascii"])
+            .encode_ascii(np.frombuffer(r.seq.encode(), np.uint8))
+            for r in orecs]),
+         np.asarray([r.left for r in orecs], np.int32),
+         np.asarray([r.right for r in orecs], np.int32),
+         k)])
+    markers = [rng.choice((1, 2)) for _ in range(pool.capacity)]
+    live = np.asarray(pool.live)
+    # oracle round over live rows with same draws
+    olive = [oracle.Rec(orecs[i].seq, orecs[i].left, orecs[i].right)
+             for i in range(len(orecs))]
+    want = {r.seq for r in oracle.extension_round(
+        olive, [markers[i] for i in range(len(orecs))], k)}
+    out = dynamic.dyn_extension_round_with_markers(
+        pool, jnp.asarray(markers, jnp.int32), kmin=k, kmax=k)
+    from reflexiv_tpu.bitpack import decode_to_str
+    seq, length, subk, left, right, live = (np.asarray(a) for a in out)
+    got = {decode_to_str(seq[i, :length[i]]) for i in np.nonzero(live)[0]}
+    assert got == want
+
+
+def test_dynamic_assembly_uniform_coverage():
+    rng = random.Random(23)
+    genome = "".join(rng.choice("ACGT") for _ in range(500))
+    reads = []
+    for _ in range(300):
+        s = rng.randrange(len(genome) - 60)
+        r = genome[s:s + 60]
+        if rng.random() < 0.5:
+            r = oracle.revcomp(r)
+        reads.append(r)
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    params = Params(k=21, klist=(15, 21, 31), min_kmer_coverage=2,
+                    min_contig=300)
+    contigs = dynamic.assemble_dynamic(mat, lens, params, seed=1)
+    canon = {canonical_contig(s) for _, s in contigs}
+    assert len(canon) == 1
+    (c,) = canon
+    assert len(c) >= 420
+    assert c in genome or oracle.revcomp(c) in genome
+
+
+def test_dynamic_rescues_low_coverage_region():
+    """Sparse region: adjacent reads overlap by only ~17 bases, so 31-mers
+    spanning junctions are single-copy (filtered at min_cov=2) but 15-mers in
+    the overlaps are double-covered. Single k=31 must fragment; the dynamic
+    klist must bridge."""
+    rng = random.Random(31)
+    genome = "".join(rng.choice("ACGT") for _ in range(900))
+    reads = []
+    # dense region [0, 450): heavy random coverage
+    for _ in range(260):
+        s = rng.randrange(0, 450 - 60)
+        reads.append(genome[s:s + 60])
+    # sparse region [430, 900): tiled reads with 17bp overlaps, duplicated
+    step = 43
+    for rep in range(2):
+        for s in range(430, 900 - 60 + 1, step):
+            reads.append(genome[s:s + 60])
+    reads.append(genome[900 - 60:900])
+    reads.append(genome[900 - 60:900])
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+
+    single = assemble_reads(
+        mat, lens, Params(k=31, min_kmer_coverage=2, min_contig=200), seed=3)
+    single_canon = {canonical_contig(s) for _, s in single}
+
+    params = Params(klist=(15, 21, 31), min_kmer_coverage=2, min_contig=200)
+    dyn = dynamic.assemble_dynamic(mat, lens, params, seed=3)
+    dyn_canon = {canonical_contig(s) for _, s in dyn}
+
+    best_single = max((len(s) for s in single_canon), default=0)
+    best_dyn = max(len(s) for s in dyn_canon)
+    # dynamic must recover a much longer contig than fixed k=31
+    assert best_dyn > best_single
+    assert best_dyn >= 800
+    longest = max(dyn_canon, key=len)
+    assert longest in genome or oracle.revcomp(longest) in genome
