@@ -549,15 +549,25 @@ def assemble_dynamic(
     if not klist:
         raise ValueError(
             f"no usable k in klist for read length {max_read}")
-    # count + sort each k
+    # count + sort each k; -accurate adds mercy k-mers per k
+    # (Pipelines.java:1388-1391)
     sorted_sets = {}
     for k in klist:
-        limbs, counts = count_mod.count_kmers(
-            bases, lengths, k=k,
-            min_cov=params.min_kmer_coverage,
-            max_cov=params.max_kmer_coverage,
-            front_clip=params.front_clip, end_clip=params.end_clip,
-        )
+        if params.sensitive:
+            from .mercy import mercy_kmer_table
+
+            limbs, counts = mercy_kmer_table(
+                bases, lengths, k=k,
+                min_cov=params.min_kmer_coverage,
+                max_cov=params.max_kmer_coverage,
+            )
+        else:
+            limbs, counts = count_mod.count_kmers(
+                bases, lengths, k=k,
+                min_cov=params.min_kmer_coverage,
+                max_cov=params.max_kmer_coverage,
+                front_clip=params.front_clip, end_clip=params.end_clip,
+            )
         sorted_sets[k] = sort_k_records(limbs, counts, k, params)
         log.info("k=%d: %d solid k-mers, %d sorted records",
                  k, len(counts), len(sorted_sets[k][0]))

@@ -1,0 +1,201 @@
+"""Read preprocessing: normalization, pair overlap-merging, error correction.
+
+Replaces the reference's preprocess pipeline (``MainOfPreProcessing`` ->
+``ReflexivDataFrameDecompresser`` / ``ReflexivDataFrameErrorCorrecter``) and
+its shelled-out native binaries (SURVEY.md section 2.9):
+
+  * **flash** (paired-end overlap merging, executor pipe at
+    ``ReflexivDataFrameDecompresser.java:475-542``) -> a vectorized
+    overlap-scoring kernel: best overlap o in [min_overlap, L] with mismatch
+    density <= max_mismatch merges r1 with revcomp(r2);
+  * **lighter** (error correction pipe,
+    ``ReflexivDataFrameErrorCorrecter.java:551-633``) -> k-mer-spectrum
+    correction: a base covered by no solid k-mer is substituted when exactly
+    one alternative makes all covering k-mers solid;
+  * **gzip** decompression and 4-line FASTQ normalization are host IO
+    (``reflexiv_tpu.io``).
+
+Outputs follow the reference layout: ``Read_Paired_Merged`` /
+``Read_Repartitioned`` directories with ``_SUCCESS`` markers.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import List, Tuple
+
+import numpy as np
+
+from .bitpack import CODE_TO_BASE, encode_ascii
+from .params import Params
+
+log = logging.getLogger("reflexiv_tpu")
+
+FLASH_MIN_OVERLAP = 10       # flash -m default
+FLASH_MAX_MISMATCH = 0.25    # flash -x default
+
+
+def merge_pairs(
+    m1: np.ndarray, l1: np.ndarray, m2: np.ndarray, l2: np.ndarray,
+    *, min_overlap: int = FLASH_MIN_OVERLAP,
+    max_mismatch: float = FLASH_MAX_MISMATCH,
+) -> Tuple[List[np.ndarray], np.ndarray]:
+    """Overlap-merge read pairs (r1 forward, r2 reverse strand).
+
+    Returns (list of merged/unmerged read code arrays per pair as
+    [merged] or [r1, r2], merged_mask).
+    """
+    P = m1.shape[0]
+    assert m2.shape[0] == P
+    # reverse complement r2 (per-row reversal up to its length)
+    L2 = m2.shape[1]
+    r2rc = np.zeros_like(m2)
+    for i in range(P):
+        n = l2[i]
+        r2rc[i, :n] = (3 - m2[i, :n][::-1]).astype(np.uint8)
+
+    best_o = np.zeros(P, np.int32)
+    best_mm = np.full(P, 1.0, np.float64)
+    max_o = int(min(m1.shape[1], L2))
+    for o in range(min_overlap, max_o + 1):
+        ok = (l1 >= o) & (l2 >= o)
+        if not ok.any():
+            continue
+        # r1 suffix of length o vs r2rc prefix of length o, rows where ok
+        idx = np.nonzero(ok)[0]
+        mm = np.empty(len(idx), np.float64)
+        for j, i in enumerate(idx):
+            a = m1[i, l1[i] - o: l1[i]]
+            b = r2rc[i, :o]
+            mm[j] = np.count_nonzero(a != b) / o
+        better = (mm <= max_mismatch) & (
+            (mm < best_mm[idx]) | ((mm == best_mm[idx]) & (o > best_o[idx]))
+        )
+        best_o[idx[better]] = o
+        best_mm[idx[better]] = mm[better]
+
+    merged_mask = best_o >= min_overlap
+    out: List[np.ndarray] = []
+    for i in range(P):
+        if merged_mask[i]:
+            o = best_o[i]
+            out.append(np.concatenate([m1[i, : l1[i]], r2rc[i, o: l2[i]]]))
+        else:
+            out.append(m1[i, : l1[i]])
+            out.append(r2rc[i, : l2[i]])
+    return out, merged_mask
+
+
+def correct_reads(
+    mat: np.ndarray, lens: np.ndarray, *, k: int = 23, min_cov: int = 2,
+) -> Tuple[np.ndarray, int]:
+    """K-mer-spectrum single-base error correction (lighter-equivalent).
+
+    A position covered only by non-solid k-mers is corrected to the unique
+    substitution making all its covering k-mers solid; ambiguous or
+    uncorrectable positions are left untouched.
+    Returns (corrected matrix, number of corrected bases).
+    """
+    from . import count as count_mod
+
+    limbs, counts = count_mod.count_kmers(mat, lens, k=k, min_cov=min_cov)
+    if limbs.shape[1] > 2:
+        raise ValueError("correction supports k <= 31")
+    solid = set(
+        (int(h) << 32) | int(l) for h, l in limbs[:, :2]
+    ) if limbs.shape[1] == 2 else {int(x) for x in limbs[:, 0]}
+
+    def canon_val(window: np.ndarray) -> int:
+        v = 0
+        for b in window:
+            v = (v << 2) | int(b)
+        rc = 0
+        for b in window[::-1]:
+            rc = (rc << 2) | (3 ^ int(b))
+        return min(v, rc)
+
+    mat = mat.copy()
+    n_fixed = 0
+    R = mat.shape[0]
+    for i in range(R):
+        n = int(lens[i])
+        if n < k + 1:
+            continue
+        read = mat[i, :n]
+        W = n - k + 1
+        solid_mask = np.fromiter(
+            (canon_val(read[w: w + k]) in solid for w in range(W)),
+            bool, count=W,
+        )
+        if solid_mask.all():
+            continue
+        # positions covered by no solid window
+        cov = np.zeros(n, bool)
+        for w in np.nonzero(solid_mask)[0]:
+            cov[w: w + k] = True
+        for p in np.nonzero(~cov)[0]:
+            orig = read[p]
+            fixes = []
+            for b in range(4):
+                if b == orig:
+                    continue
+                read[p] = b
+                w_lo, w_hi = max(0, p - k + 1), min(W, p + 1)
+                if all(
+                    canon_val(read[w: w + k]) in solid
+                    for w in range(w_lo, w_hi)
+                ):
+                    fixes.append(b)
+                read[p] = orig
+            if len(fixes) == 1:
+                read[p] = fixes[0]
+                n_fixed += 1
+    return mat, n_fixed
+
+
+def _write_fastq(path: str, reads: List[np.ndarray]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        for i, codes in enumerate(reads):
+            seq = CODE_TO_BASE[codes].tobytes().decode()
+            fh.write(f"@read-{i}\n{seq}\n+\n{'I' * len(seq)}\n")
+
+
+def preprocess(params: Params) -> None:
+    """CLI driver for ``preprocess``: normalize (+ merge pairs when exactly
+    two inputs are given, like ``-fastq 'pair_1,pair_2'``) and error-correct."""
+    from .io import (expand_paths, iter_fastq, reads_to_matrix,
+                     write_success_marker)
+
+    paths = expand_paths(params.input_fastq or params.input_fasta)
+    out = params.output_path
+    if len(paths) == 2:  # paired
+        r1 = list(iter_fastq([paths[0]]))
+        r2 = list(iter_fastq([paths[1]]))
+        if len(r1) != len(r2):
+            raise SystemExit("error: paired inputs differ in read count")
+        m1, l1 = reads_to_matrix(r1)
+        m2, l2 = reads_to_matrix(r2)
+        merged, mask = merge_pairs(m1, l1, m2, l2)
+        log.info("pair merging: %d/%d pairs merged", int(mask.sum()), len(r1))
+        mdir = os.path.join(out, "Read_Paired_Merged")
+        _write_fastq(os.path.join(mdir, "part-00000.fq"), merged)
+        write_success_marker(mdir)
+        reads = merged
+    else:
+        reads = [
+            encode_ascii(np.frombuffer(s, np.uint8))
+            for s in iter_fastq(paths)
+        ]
+
+    mat, lens = reads_to_matrix([CODE_TO_BASE[r].tobytes() for r in reads])
+    corrected, n_fixed = correct_reads(
+        mat, lens, k=min(23, params.k), min_cov=max(2, params.min_kmer_coverage)
+    )
+    log.info("error correction: %d bases fixed", n_fixed)
+    rdir = os.path.join(out, "Read_Repartitioned")
+    _write_fastq(
+        os.path.join(rdir, "part-00000.fq"),
+        [corrected[i, : lens[i]] for i in range(len(lens))],
+    )
+    write_success_marker(rdir)

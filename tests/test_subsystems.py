@@ -1,0 +1,162 @@
+"""Tests for reassembler, merger, mercy, preprocess, stitch."""
+import random
+
+import numpy as np
+import pytest
+
+import oracle
+from reflexiv_tpu.contigs import canonical_contig
+from reflexiv_tpu.io import reads_to_matrix
+from reflexiv_tpu.params import Params
+
+
+def _sim_reads(rng, genome, read_len, coverage, err_rate=0.0, rc=True):
+    reads = []
+    n = coverage * len(genome) // read_len
+    for _ in range(n):
+        s = rng.randrange(len(genome) - read_len + 1)
+        r = list(genome[s:s + read_len])
+        for i in range(len(r)):
+            if rng.random() < err_rate:
+                r[i] = rng.choice("ACGT")
+        r = "".join(r)
+        if rc and rng.random() < 0.5:
+            r = oracle.revcomp(r)
+        reads.append(r)
+    return reads
+
+
+def test_reassembler_extends_fragment():
+    from reflexiv_tpu.reassemble import reassemble_arrays
+
+    rng = random.Random(77)
+    genome = "".join(rng.choice("ACGT") for _ in range(700))
+    # fragment covers the middle; reads cover everything
+    frag = genome[250:450]
+    reads = _sim_reads(rng, genome, 60, 30)
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    params = Params(k=21, min_kmer_coverage=2, min_contig=400)
+    contigs = reassemble_arrays(mat, lens, [frag], params, seed=1)
+    canon = {canonical_contig(s) for _, s in contigs}
+    assert len(canon) == 1
+    (c,) = canon
+    assert len(c) >= 600
+    assert c in genome or oracle.revcomp(c) in genome
+    # the fragment's interior must be inside the reassembled contig
+    assert frag in c or oracle.revcomp(frag) in c
+
+
+def test_merger_removes_redundant():
+    from reflexiv_tpu.merger import merge_contigs
+
+    rng = random.Random(3)
+    a = "".join(rng.choice("ACGT") for _ in range(300))
+    sub = a[50:200]
+    rc_sub = oracle.revcomp(a[100:250])
+    b = "".join(rng.choice("ACGT") for _ in range(200))
+    merged = merge_contigs([a, sub, rc_sub, b, b])
+    assert sorted(merged, key=len) == sorted([b, a], key=len)
+
+
+def test_mercy_rescues_single_copy_bridge():
+    from reflexiv_tpu.mercy import mercy_kmer_table
+    from reflexiv_tpu.assembler import assemble_from_counts, assemble_reads
+
+    rng = random.Random(55)
+    genome = "".join(rng.choice("ACGT") for _ in range(400))
+    k = 21
+    # heavy coverage everywhere except a thin middle stretch covered once
+    reads = []
+    mid = len(genome) // 2
+    for _ in range(150):
+        s = rng.randrange(0, mid - 60)
+        reads.append(genome[s:s + 60])
+    for _ in range(150):
+        s = rng.randrange(mid + 20, len(genome) - 60)
+        reads.append(genome[s:s + 60])
+    # single bridge read spanning the gap with solid flanks on both sides
+    reads.append(genome[mid - 60: mid + 100])
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    params = Params(k=k, min_kmer_coverage=2, min_contig=150)
+
+    plain = assemble_reads(mat, lens, params, seed=9)
+    plain_best = max((len(s) for _, s in plain), default=0)
+
+    limbs, counts = mercy_kmer_table(mat, lens, k=k, min_cov=2)
+    mercy = assemble_from_counts(limbs, counts, params, seed=9)
+    mercy_best = max(len(s) for _, s in mercy)
+    # mercy k-mers bridge the single-copy stretch
+    assert mercy_best > plain_best
+    assert mercy_best >= 360
+    best = max((s for _, s in mercy), key=len)
+    assert best in genome or oracle.revcomp(best) in genome
+
+
+def test_merge_pairs_overlap():
+    from reflexiv_tpu.preprocess import merge_pairs
+
+    rng = random.Random(8)
+    insert = "".join(rng.choice("ACGT") for _ in range(150))
+    r1 = insert[:100]
+    r2 = oracle.revcomp(insert[50:150])  # overlap 50
+    m1, l1 = reads_to_matrix([r1.encode()])
+    m2, l2 = reads_to_matrix([r2.encode()])
+    merged, mask = merge_pairs(m1, l1, m2, l2)
+    assert mask.tolist() == [True]
+    from reflexiv_tpu.bitpack import decode_to_str
+    assert decode_to_str(merged[0]) == insert
+
+    # non-overlapping pair stays split
+    other = "".join(rng.choice("ACGT") for _ in range(100))
+    m2b, l2b = reads_to_matrix([oracle.revcomp(other).encode()])
+    out, mask2 = merge_pairs(m1, l1, m2b, l2b)
+    assert mask2.tolist() == [False]
+    assert len(out) == 2
+
+
+def test_error_correction_fixes_isolated_errors():
+    from reflexiv_tpu.preprocess import correct_reads
+
+    rng = random.Random(12)
+    genome = "".join(rng.choice("ACGT") for _ in range(300))
+    reads = _sim_reads(rng, genome, 80, 25, rc=False)
+    # corrupt one base in the middle of the first read
+    bad = list(reads[0])
+    orig = bad[40]
+    bad[40] = next(c for c in "ACGT" if c != orig)
+    reads[0] = "".join(bad)
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    fixed, n_fixed = correct_reads(mat, lens, k=21, min_cov=3)
+    assert n_fixed >= 1
+    from reflexiv_tpu.bitpack import decode_to_str
+    assert decode_to_str(fixed[0, :lens[0]]) == "".join(
+        orig if i == 40 else c for i, c in enumerate(reads[0]))
+
+
+def test_stitch_bridges_zero_coverage_gap():
+    from reflexiv_tpu.stitch import stitch_contigs
+    from reflexiv_tpu.assembler import assemble_reads
+
+    rng = random.Random(99)
+    genome = "".join(rng.choice("ACGT") for _ in range(700))
+    # deep coverage on both flanks, single-copy reads over the gap
+    reads = []
+    for _ in range(180):
+        s = rng.randrange(0, 280 - 60)
+        reads.append(genome[s:s + 60])
+    for _ in range(180):
+        s = rng.randrange(380, len(genome) - 60)
+        reads.append(genome[s:s + 60])
+    for s in range(230, 390, 25):  # sparse single-copy tiling over the gap
+        reads.append(genome[s:s + 60])
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    params = Params(k=21, min_kmer_coverage=2, min_contig=150)
+    base = assemble_reads(mat, lens, params, seed=4)
+    base_contigs = sorted({canonical_contig(s) for _, s in base}, key=len)
+    assert len(base_contigs) >= 2  # fragmented at the gap
+
+    stitched = stitch_contigs(
+        mat, lens, [s for _, s in base], params, klist=(21,), seed=4)
+    best = max(stitched, key=len)
+    assert len(best) >= 600
+    assert best in genome or oracle.revcomp(best) in genome
