@@ -92,22 +92,34 @@ def sort_count_filter(
     Returns ``(sorted_limbs, counts, keep)``: ``keep`` marks the first row of
     each distinct valid k-mer whose count lies in ``[min_cov, max_cov]``
     (the reference's filter at ``ReflexivDSMain.java:211-216``).
+
+    TPU notes: a single variadic ``lax.sort`` moves the key limbs directly
+    (no argsort + gather round trip), and the run-length count is two
+    prefix scans (run start position / next-run position) instead of a
+    full-width ``segment_sum`` scatter-add — scatters serialize on TPU.
     """
     N, W = limbs.shape
     sentinel = jnp.uint32(0xFFFFFFFF)
-    keyed = jnp.where(valid[:, None], limbs, sentinel)
-    order = jnp.lexsort(tuple(keyed[:, i] for i in range(W - 1, -1, -1)))
-    skey = keyed[order]
-    svalid = valid[order]
+    cols = tuple(
+        jnp.where(valid, limbs[:, i], sentinel) for i in range(W)
+    )
+    sorted_ops = jax.lax.sort(cols + (valid,), num_keys=W)
+    skey_cols = sorted_ops[:W]
+    svalid = sorted_ops[W]
 
-    prev = jnp.roll(skey, 1, axis=0)
-    is_start = jnp.any(skey != prev, axis=1)
+    is_start = jnp.zeros(N, dtype=bool).at[0].set(True)
+    for c in skey_cols:
+        is_start = is_start | (c != jnp.roll(c, 1))
     is_start = is_start.at[0].set(True)
-    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
-    counts = jax.ops.segment_sum(svalid.astype(jnp.int32), seg, num_segments=N)
-    row_count = counts[seg]
+
+    pos = jnp.arange(N, dtype=jnp.int32)
+    start_pos = jax.lax.cummax(jnp.where(is_start, pos, 0))
+    nxt = jnp.where(is_start, pos, N)
+    next_start = jnp.roll(jax.lax.cummin(nxt, reverse=True), -1).at[-1].set(N)
+    row_count = jnp.where(svalid, next_start - start_pos, 0)
+
     keep = is_start & svalid & (row_count >= min_cov) & (row_count <= max_cov)
-    return skey, row_count, keep
+    return jnp.stack(skey_cols, axis=-1), row_count, keep
 
 
 def count_kmers(
@@ -123,12 +135,31 @@ def count_kmers(
     """End-to-end single-device counting: reads -> (unique kmer limbs, counts).
 
     Host wrapper: runs the jitted extraction + sort-count, then compacts the
-    masked rows to a dense table on the host.
+    masked rows to a dense table on the host. Uses the fused Pallas
+    extraction kernel on TPU for 17 <= k <= 31 (no clipping); the XLA
+    slice-OR path otherwise.
     """
-    limbs, valid = extract_canonical_kmers(
-        jnp.asarray(bases), jnp.asarray(lengths), k=k,
-        front_clip=front_clip, end_clip=end_clip,
+    from . import pallas_kernels
+
+    # opt-in until the kernel is validated on real TPU hardware: the first
+    # on-device run hung the remote-TPU tunnel (see SKILL.md notes)
+    import os
+
+    use_pallas = (
+        os.environ.get("REFLEXIV_PALLAS_EXTRACT") == "1"
+        and pallas_kernels.supports(k)
+        and front_clip == 0 and end_clip == 0
+        and jax.devices()[0].platform == "tpu"
     )
+    if use_pallas:
+        limbs, valid = pallas_kernels.extract_canonical_kmers_pallas(
+            jnp.asarray(bases), jnp.asarray(lengths), k=k
+        )
+    else:
+        limbs, valid = extract_canonical_kmers(
+            jnp.asarray(bases), jnp.asarray(lengths), k=k,
+            front_clip=front_clip, end_clip=end_clip,
+        )
     skey, row_count, keep = sort_count_filter(
         limbs, valid, min_cov=min_cov, max_cov=max_cov
     )

@@ -594,6 +594,15 @@ def assemble_dynamic(
             continue
         raw.append(decode_to_str(seq[i, :length[i]]))
     raw = [s for s in raw if len(s) >= params.min_contig]
+
+    # contig-end read-consensus extension (the 07EndExtend stage; replaces
+    # the reference's minimap2 pipe, ReflexivDSDynamicKmerMapping)
+    from .mapping import end_extend
+
+    read_strs = [
+        decode_to_str(bases[i, : lengths[i]]) for i in range(len(lengths))
+    ]
+    raw = end_extend(raw, read_strs)
     deduped = dedup_contigs(raw)
     return [
         (f">Contig-{len(s)}-{i}", s) for i, s in enumerate(deduped)

@@ -1,0 +1,115 @@
+"""Pallas TPU kernels for the hot counting path.
+
+The canonical k-mer extraction kernel processes reads in a transposed layout:
+the read index lives on the 128-wide lane dimension and the kernel rolls a
+2-bit-packed (forward, reverse-complement) state down the base columns —
+one fused pass over the read block in VMEM, instead of XLA's 4*k shifted
+slice-OR intermediates. Matches the reference's rolling pack
+(``ReverseComplementKmerBinaryExtractionFromDataset``,
+``ReflexivDSMain.java:3950-4023``) with the canonical min-select done in
+registers.
+
+Supports k <= 31 (two uint32 limbs); callers fall back to the XLA path in
+:mod:`reflexiv_tpu.count` for larger k.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _extract_kernel(k: int, L: int, BR: int):
+    """Kernel body factory: bases block (L, BR) uint32 -> hi/lo (Wn, BR)."""
+    Wn = L - k + 1
+    hi_bits = 2 * k - 32  # bits of the packed value living in the hi limb
+    hi_mask_val = (1 << hi_bits) - 1 if hi_bits < 32 else 0xFFFFFFFF
+
+    def kernel(bases_ref, hi_ref, lo_ref):
+        hi_mask = jnp.uint32(hi_mask_val)
+        def store(w, canon_hi, canon_lo):
+            hi_ref[w, :] = canon_hi
+            lo_ref[w, :] = canon_lo
+
+        zero = jnp.zeros((BR,), dtype=jnp.uint32)
+        fhi, flo, rhi, rlo = zero, zero, zero, zero
+        for j in range(L):
+            b = bases_ref[j, :]
+            # forward: shift left 2, append b
+            fhi = ((fhi << 2) | (flo >> 30)) & hi_mask
+            flo = (flo << 2) | b
+            # reverse complement: shift right 2, prepend complement at the top
+            comp = b ^ 3
+            rlo = (rlo >> 2) | (rhi << 30)
+            rhi = (rhi >> 2) | (comp << (hi_bits - 2)) if hi_bits >= 2 else rhi
+            if j >= k - 1:
+                lt = (fhi < rhi) | ((fhi == rhi) & (flo <= rlo))
+                store(j - (k - 1), jnp.where(lt, fhi, rhi),
+                      jnp.where(lt, flo, rlo))
+
+    return kernel, Wn
+
+
+def supports(k: int) -> bool:
+    return 17 <= k <= 31
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def extract_canonical_kmers_pallas(
+    bases: jnp.ndarray,    # (R, L) uint8
+    lengths: jnp.ndarray,  # (R,) int32
+    *,
+    k: int,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pallas canonical k-mer extraction for 17 <= k <= 31.
+
+    Returns ``(limbs, valid)`` shaped ``(R_pad * Wn, 2)`` / ``(R_pad * Wn,)``
+    — same contract as :func:`reflexiv_tpu.count.extract_canonical_kmers`
+    modulo row order (counting is order-independent).
+    """
+    if not supports(k):
+        raise ValueError("pallas extraction kernel supports 17 <= k <= 31")
+    R, L = bases.shape
+    Wn = L - k + 1
+    BR = LANES * 8
+    R_pad = ((R + BR - 1) // BR) * BR
+    # transpose: reads on lanes
+    bt = jnp.zeros((L, R_pad), dtype=jnp.uint32)
+    bt = bt.at[:, :R].set(bases.astype(jnp.uint32).T)
+
+    kernel, _ = _extract_kernel(k, L, BR)
+    grid = (R_pad // BR,)
+    hi, lo = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L, BR), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Wn, BR), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wn, BR), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Wn, R_pad), jnp.uint32),
+            jax.ShapeDtypeStruct((Wn, R_pad), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(bt)
+
+    # validity in the same (Wn, R_pad) layout
+    lens_pad = jnp.zeros((R_pad,), jnp.int32).at[:R].set(lengths)
+    w_idx = jnp.arange(Wn, dtype=jnp.int32)[:, None]
+    read_ok = (lens_pad - k > 1)[None, :] & (
+        jnp.arange(R_pad, dtype=jnp.int32)[None, :] < R
+    )
+    win_ok = w_idx + k <= lens_pad[None, :]
+    valid = (read_ok & win_ok).reshape(Wn * R_pad)
+    limbs = jnp.stack([hi.reshape(-1), lo.reshape(-1)], axis=-1)
+    return limbs, valid

@@ -1,0 +1,44 @@
+import random
+
+import oracle
+from reflexiv_tpu.mapping import end_extend
+
+
+def test_end_extend_recovers_contig_ends():
+    rng = random.Random(41)
+    genome = "".join(rng.choice("ACGT") for _ in range(500))
+    # contig missing 40bp at each end
+    contig = genome[40:460]
+    reads = []
+    for _ in range(200):
+        s = rng.randrange(len(genome) - 60)
+        r = genome[s:s + 60]
+        if rng.random() < 0.5:
+            r = oracle.revcomp(r)
+        reads.append(r)
+    (extended,) = end_extend([contig], reads)
+    assert len(extended) > len(contig) + 60
+    assert extended in genome
+
+
+def test_end_extend_stops_without_support():
+    rng = random.Random(42)
+    genome = "".join(rng.choice("ACGT") for _ in range(200))
+    contig = genome[:150]
+    # no reads at all beyond the contig: nothing to vote
+    reads = [genome[:60], genome[20:80]]
+    (extended,) = end_extend([contig], reads)
+    assert extended == contig
+
+
+def test_end_extend_respects_disagreement():
+    rng = random.Random(43)
+    core = "".join(rng.choice("ACGT") for _ in range(120))
+    contig = core
+    # two read populations disagree immediately after the contig end
+    tail_a = "A" + "".join(rng.choice("ACGT") for _ in range(20))
+    tail_b = "C" + tail_a[1:]
+    reads = [core[-50:] + tail_a, core[-50:] + tail_b]
+    (extended,) = end_extend([contig], reads)
+    # 50/50 split is below the 0.7 majority bar on the first column
+    assert extended == contig
