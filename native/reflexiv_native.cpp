@@ -1,0 +1,173 @@
+// Native IO + host-side preprocessing for reflexiv_tpu.
+//
+// Replaces the reference's JVM-side ingest stack (Spark text reader +
+// hadoop-4mc splittable codec, ReflexivDataFrameCounter.java:160-176) and the
+// shelled-out `flash` pair merger (ReflexivDataFrameDecompresser.java:475-542)
+// with an in-process C++ library bound via ctypes: gzip FASTQ/FASTA decode
+// straight into 2-bit base-code matrices ready for device upload, and an
+// O(P*L^2) pair overlap merge that was too slow in Python.
+//
+// Build: make -C native   (g++ -O3 -shared, links zlib)
+
+#include <zlib.h>
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// A=0 C=1 G=2 T=3; everything else (incl. N) maps to T, matching the
+// reference's nucleotideValue (ReflexivDSMain.java:4010-4022).
+struct CodeTable {
+  uint8_t t[256];
+  CodeTable() {
+    std::memset(t, 3, sizeof(t));
+    t['A'] = t['a'] = 0;
+    t['C'] = t['c'] = 1;
+    t['G'] = t['g'] = 2;
+    t['T'] = t['t'] = 3;
+  }
+};
+const CodeTable kCodes;
+
+constexpr int kLineMax = 1 << 20;
+
+bool read_line(gzFile f, std::vector<char>* buf) {
+  buf->clear();
+  char chunk[65536];
+  while (true) {
+    if (gzgets(f, chunk, sizeof(chunk)) == nullptr) return !buf->empty();
+    size_t n = std::strlen(chunk);
+    buf->insert(buf->end(), chunk, chunk + n);
+    if (n > 0 && chunk[n - 1] == '\n') {
+      buf->pop_back();
+      if (!buf->empty() && buf->back() == '\r') buf->pop_back();
+      return true;
+    }
+    if ((int)buf->size() > kLineMax) return true;  // defensive cap
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// First pass: count records and the maximum sequence length.
+// fmt: 0 = FASTQ (4-line), 1 = FASTA. Returns 0 on success, <0 on error.
+int rfx_scan(const char* path, int fmt, int64_t* n_reads, int64_t* max_len) {
+  gzFile f = gzopen(path, "rb");
+  if (f == nullptr) return -1;
+  std::vector<char> line;
+  int64_t n = 0, mx = 0;
+  if (fmt == 0) {
+    int64_t ln = 0;
+    while (read_line(f, &line)) {
+      if (ln % 4 == 1) {
+        ++n;
+        if ((int64_t)line.size() > mx) mx = (int64_t)line.size();
+      }
+      ++ln;
+    }
+  } else {
+    int64_t cur = 0;
+    bool in_seq = false;
+    while (read_line(f, &line)) {
+      if (!line.empty() && line[0] == '>') {
+        if (in_seq) {
+          ++n;
+          if (cur > mx) mx = cur;
+        }
+        in_seq = true;
+        cur = 0;
+      } else {
+        cur += (int64_t)line.size();
+      }
+    }
+    if (in_seq) {
+      ++n;
+      if (cur > mx) mx = cur;
+    }
+  }
+  gzclose(f);
+  *n_reads = n;
+  *max_len = mx;
+  return 0;
+}
+
+// Second pass: decode into codes (n_reads x stride, row-major, pad 0) and
+// lens. Sequences longer than stride are truncated to stride.
+// Returns number of records decoded, <0 on error.
+int64_t rfx_load(const char* path, int fmt, uint8_t* codes, int32_t* lens,
+                 int64_t cap_reads, int64_t stride) {
+  gzFile f = gzopen(path, "rb");
+  if (f == nullptr) return -1;
+  std::vector<char> line;
+  int64_t n = 0;
+
+  auto emit = [&](const char* s, int64_t len) {
+    if (n >= cap_reads) return;
+    if (len > stride) len = stride;
+    uint8_t* row = codes + n * stride;
+    for (int64_t i = 0; i < len; ++i) row[i] = kCodes.t[(uint8_t)s[i]];
+    lens[n] = (int32_t)len;
+    ++n;
+  };
+
+  if (fmt == 0) {
+    int64_t ln = 0;
+    while (read_line(f, &line)) {
+      if (ln % 4 == 1) emit(line.data(), (int64_t)line.size());
+      ++ln;
+    }
+  } else {
+    std::vector<char> seq;
+    bool in_seq = false;
+    while (read_line(f, &line)) {
+      if (!line.empty() && line[0] == '>') {
+        if (in_seq) emit(seq.data(), (int64_t)seq.size());
+        in_seq = true;
+        seq.clear();
+      } else {
+        seq.insert(seq.end(), line.begin(), line.end());
+      }
+    }
+    if (in_seq) emit(seq.data(), (int64_t)seq.size());
+  }
+  gzclose(f);
+  return n;
+}
+
+// Pair overlap merge (flash equivalent). For each pair i, finds the overlap
+// o in [min_overlap, min(l1,l2)] between r1's suffix and revcomp(r2)'s
+// prefix with the lowest mismatch density <= max_mismatch (ties -> longer
+// overlap). Writes best overlap length (0 = unmerged) into best_o.
+void rfx_merge_pairs(const uint8_t* m1, const int32_t* l1, int64_t stride1,
+                     const uint8_t* m2, const int32_t* l2, int64_t stride2,
+                     int64_t n_pairs, int32_t min_overlap,
+                     double max_mismatch, int32_t* best_o) {
+  std::vector<uint8_t> rc;
+  for (int64_t i = 0; i < n_pairs; ++i) {
+    const uint8_t* a = m1 + i * stride1;
+    const uint8_t* b = m2 + i * stride2;
+    int32_t la = l1[i], lb = l2[i];
+    rc.assign(lb, 0);
+    for (int32_t j = 0; j < lb; ++j) rc[j] = 3 - b[lb - 1 - j];
+    int32_t best = 0;
+    double best_mm = 1.0;
+    int32_t max_o = la < lb ? la : lb;
+    for (int32_t o = min_overlap; o <= max_o; ++o) {
+      int32_t mm = 0;
+      const uint8_t* suf = a + la - o;
+      for (int32_t j = 0; j < o; ++j) mm += (suf[j] != rc[j]);
+      double d = (double)mm / o;
+      if (d <= max_mismatch && (d < best_mm || (d == best_mm && o > best))) {
+        best = o;
+        best_mm = d;
+      }
+    }
+    best_o[i] = best;
+  }
+}
+
+}  // extern "C"

@@ -88,8 +88,22 @@ def reads_to_matrix(seqs: Sequence[bytes]) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def load_reads(pattern: str) -> Tuple[np.ndarray, np.ndarray]:
-    """Load FASTQ (or FASTA if no '@' records found) reads into a code matrix."""
+    """Load FASTQ (or FASTA if no '@' records found) reads into a code matrix.
+
+    Uses the native C++ decoder (:mod:`reflexiv_tpu.native`) when available;
+    falls back to the pure-Python reader.
+    """
     paths = expand_paths(pattern)
+    try:
+        from . import native
+
+        out = native.load_reads_native(paths, fmt=0)
+        if out is not None and out[0].shape[0] == 0:
+            out = native.load_reads_native(paths, fmt=1)
+        if out is not None and out[0].shape[0] > 0:
+            return out
+    except OSError:
+        pass
     seqs = list(iter_fastq(paths))
     if not seqs:
         seqs = [s for _, s in iter_fasta(paths)]

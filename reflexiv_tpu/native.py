@@ -1,0 +1,145 @@
+"""ctypes bindings for the native C++ IO/preprocessing library.
+
+Builds ``native/libreflexiv_native.so`` on demand (g++ + zlib) and exposes:
+
+  * :func:`load_reads_native` — gzip FASTQ/FASTA decode straight into 2-bit
+    code matrices (replaces the Python line loop in :mod:`reflexiv_tpu.io`);
+  * :func:`merge_pairs_native` — flash-equivalent pair overlap scoring.
+
+Every entry point has a pure-Python fallback; callers never hard-require the
+native library.
+"""
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+log = logging.getLogger("reflexiv_tpu")
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libreflexiv_native.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    if not os.path.exists(_SO_PATH):
+        src = os.path.join(_NATIVE_DIR, "reflexiv_native.cpp")
+        if not os.path.exists(src):
+            _build_failed = True
+            return None
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR], check=True,
+                capture_output=True, timeout=120,
+            )
+        except Exception as e:  # noqa: BLE001 — any build failure -> fallback
+            log.warning("native build failed (%s); using Python IO", e)
+            _build_failed = True
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError as e:
+        log.warning("native load failed (%s); using Python IO", e)
+        _build_failed = True
+        return None
+    lib.rfx_scan.restype = ctypes.c_int
+    lib.rfx_scan.argtypes = [
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.rfx_load.restype = ctypes.c_int64
+    lib.rfx_load.argtypes = [
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.rfx_merge_pairs.restype = None
+    lib.rfx_merge_pairs.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _get_lib() is not None
+
+
+def _scan(lib, path: str, fmt: int) -> Tuple[int, int]:
+    n = ctypes.c_int64(0)
+    mx = ctypes.c_int64(0)
+    rc = lib.rfx_scan(path.encode(), fmt, ctypes.byref(n), ctypes.byref(mx))
+    if rc != 0:
+        raise OSError(f"native scan failed for {path}")
+    return int(n.value), int(mx.value)
+
+
+def load_reads_native(
+    paths: List[str], fmt: int = 0
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Decode FASTQ (fmt=0) / FASTA (fmt=1) files into (codes, lens).
+
+    Returns None when the native library is unavailable.
+    """
+    lib = _get_lib()
+    if lib is None:
+        return None
+    scans = [_scan(lib, p, fmt) for p in paths]
+    total = sum(n for n, _ in scans)
+    stride = max((m for _, m in scans), default=0)
+    codes = np.zeros((total, stride), dtype=np.uint8)
+    lens = np.zeros(total, dtype=np.int32)
+    at = 0
+    for path, (n, _) in zip(paths, scans):
+        got = lib.rfx_load(
+            path.encode(), fmt,
+            codes[at:].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            lens[at:].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n, stride,
+        )
+        if got < 0:
+            raise OSError(f"native load failed for {path}")
+        at += int(got)
+    return codes[:at], lens[:at]
+
+
+def merge_pairs_native(
+    m1: np.ndarray, l1: np.ndarray, m2: np.ndarray, l2: np.ndarray,
+    *, min_overlap: int, max_mismatch: float,
+) -> Optional[np.ndarray]:
+    """Best-overlap lengths per pair (0 = unmerged); None if unavailable."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    m1 = np.ascontiguousarray(m1, dtype=np.uint8)
+    m2 = np.ascontiguousarray(m2, dtype=np.uint8)
+    l1 = np.ascontiguousarray(l1, dtype=np.int32)
+    l2 = np.ascontiguousarray(l2, dtype=np.int32)
+    best = np.zeros(m1.shape[0], dtype=np.int32)
+    lib.rfx_merge_pairs(
+        m1.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        l1.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), m1.shape[1],
+        m2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        l2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), m2.shape[1],
+        m1.shape[0], min_overlap, max_mismatch,
+        best.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return best

@@ -54,25 +54,33 @@ def merge_pairs(
         n = l2[i]
         r2rc[i, :n] = (3 - m2[i, :n][::-1]).astype(np.uint8)
 
-    best_o = np.zeros(P, np.int32)
-    best_mm = np.full(P, 1.0, np.float64)
-    max_o = int(min(m1.shape[1], L2))
-    for o in range(min_overlap, max_o + 1):
-        ok = (l1 >= o) & (l2 >= o)
-        if not ok.any():
-            continue
-        # r1 suffix of length o vs r2rc prefix of length o, rows where ok
-        idx = np.nonzero(ok)[0]
-        mm = np.empty(len(idx), np.float64)
-        for j, i in enumerate(idx):
-            a = m1[i, l1[i] - o: l1[i]]
-            b = r2rc[i, :o]
-            mm[j] = np.count_nonzero(a != b) / o
-        better = (mm <= max_mismatch) & (
-            (mm < best_mm[idx]) | ((mm == best_mm[idx]) & (o > best_o[idx]))
-        )
-        best_o[idx[better]] = o
-        best_mm[idx[better]] = mm[better]
+    from . import native
+
+    best_native = native.merge_pairs_native(
+        m1, l1, m2, l2, min_overlap=min_overlap, max_mismatch=max_mismatch
+    )
+    if best_native is not None:
+        best_o = best_native
+    else:
+        best_o = np.zeros(P, np.int32)
+        best_mm = np.full(P, 1.0, np.float64)
+        max_o = int(min(m1.shape[1], L2))
+        for o in range(min_overlap, max_o + 1):
+            ok = (l1 >= o) & (l2 >= o)
+            if not ok.any():
+                continue
+            idx = np.nonzero(ok)[0]
+            mm = np.empty(len(idx), np.float64)
+            for j, i in enumerate(idx):
+                a = m1[i, l1[i] - o: l1[i]]
+                b = r2rc[i, :o]
+                mm[j] = np.count_nonzero(a != b) / o
+            better = (mm <= max_mismatch) & (
+                (mm < best_mm[idx])
+                | ((mm == best_mm[idx]) & (o > best_o[idx]))
+            )
+            best_o[idx[better]] = o
+            best_mm[idx[better]] = mm[better]
 
     merged_mask = best_o >= min_overlap
     out: List[np.ndarray] = []

@@ -1,0 +1,54 @@
+import numpy as np
+import pytest
+
+from reflexiv_tpu import native
+from reflexiv_tpu.io import iter_fastq, reads_to_matrix, expand_paths
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_fastq_matches_python():
+    paths = expand_paths("/root/reference/example/paired_dat*.fq.gz")
+    codes_n, lens_n = native.load_reads_native(paths, fmt=0)
+    seqs = list(iter_fastq(paths))
+    codes_p, lens_p = reads_to_matrix(seqs)
+    assert codes_n.shape == codes_p.shape
+    np.testing.assert_array_equal(lens_n, lens_p)
+    np.testing.assert_array_equal(codes_n, codes_p)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_fasta(tmp_path):
+    p = tmp_path / "x.fa"
+    p.write_text(">a\nACGT\nACGT\n>b desc\nTTTT\n")
+    codes, lens = native.load_reads_native([str(p)], fmt=1)
+    assert lens.tolist() == [8, 4]
+    assert codes[0, :8].tolist() == [0, 1, 2, 3, 0, 1, 2, 3]
+    assert codes[1, :4].tolist() == [3, 3, 3, 3]
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_merge_pairs_matches_python():
+    import random
+    import oracle
+    from reflexiv_tpu.preprocess import merge_pairs
+
+    rng = random.Random(2)
+    pairs = []
+    for _ in range(30):
+        insert = "".join(rng.choice("ACGT") for _ in range(140))
+        r1 = insert[:90]
+        r2 = oracle.revcomp(insert[60:140])
+        pairs.append((r1, r2))
+    # one non-overlapping pair
+    pairs.append((
+        "".join(rng.choice("ACGT") for _ in range(90)),
+        "".join(rng.choice("ACGT") for _ in range(90)),
+    ))
+    m1, l1 = reads_to_matrix([a.encode() for a, _ in pairs])
+    m2, l2 = reads_to_matrix([b.encode() for _, b in pairs])
+    best = native.merge_pairs_native(
+        m1, l1, m2, l2, min_overlap=10, max_mismatch=0.25)
+    # python merge path (which itself prefers native; compare to expected)
+    merged, mask = merge_pairs(m1, l1, m2, l2)
+    assert mask[:-1].all()
+    assert (best[:30] >= 10).all()
