@@ -538,10 +538,21 @@ def assemble_dynamic(
     params: Params,
     *,
     seed: int = 0,
+    workdir: Optional[str] = None,
 ) -> List[Tuple[str, str]]:
-    """Full dynamic multi-k assembly from reads (the ``meta`` algorithm)."""
+    """Full dynamic multi-k assembly from reads (the ``meta`` algorithm).
+
+    With ``workdir`` set, every pipeline stage checkpoints its state and the
+    call resumes from the newest completed stage (the reference's
+    ``_SUCCESS``-marker resume, ``Pipelines.java:613-830``).
+    """
     from .bitpack import decode_to_str
     from .records import REPEAT_KILLED
+    from . import checkpoint as ckpt
+
+    resume = ckpt.latest_stage(workdir) if workdir else None
+    if resume:
+        log.info("resuming meta pipeline from stage %s", resume)
 
     klist = sorted(params.klist)
     max_read = int(lengths.max()) if len(lengths) else 0
@@ -549,61 +560,103 @@ def assemble_dynamic(
     if not klist:
         raise ValueError(
             f"no usable k in klist for read length {max_read}")
-    # count + sort each k; -accurate adds mercy k-mers per k
-    # (Pipelines.java:1388-1391)
-    sorted_sets = {}
-    for k in klist:
-        if params.sensitive:
-            from .mercy import mercy_kmer_table
-
-            limbs, counts = mercy_kmer_table(
-                bases, lengths, k=k,
-                min_cov=params.min_kmer_coverage,
-                max_cov=params.max_kmer_coverage,
-            )
-        else:
-            limbs, counts = count_mod.count_kmers(
-                bases, lengths, k=k,
-                min_cov=params.min_kmer_coverage,
-                max_cov=params.max_kmer_coverage,
-                front_clip=params.front_clip, end_clip=params.end_clip,
-            )
-        sorted_sets[k] = sort_k_records(limbs, counts, k, params)
-        log.info("k=%d: %d solid k-mers, %d sorted records",
-                 k, len(counts), len(sorted_sets[k][0]))
-
-    # pairwise reduction along the k ladder (Pipelines.java:1315-1737)
-    for k1, k2 in zip(klist, klist[1:]):
-        shorts, longs = reduce_k_pair(sorted_sets[k1], sorted_sets[k2], k1, k2)
-        sorted_sets[k1] = shorts
-        sorted_sets[k2] = longs
-        log.info("reduce %d vs %d: %d short k-mers kept", k1, k2,
-                 len(shorts[0]))
-
-    pool = records_from_sorted(
-        [(b, l, r, k) for k, (b, l, r) in sorted_sets.items()]
-    )
     kmin, kmax = klist[0], klist[-1]
-    pool = run_dyn_extension(pool, params, kmin=kmin, kmax=kmax, seed=seed)
-    pool = fixing_rounds(pool, params, kfix=min(31, kmin), seed=seed + 1000)
+    stages = ckpt.META_STAGES
+    resume_idx = stages.index(resume) if resume else -1
 
-    seq, length, subk, left, right, live = (np.asarray(a) for a in pool)
-    raw = []
-    for i in np.nonzero(live)[0]:
-        if left[i] <= REPEAT_KILLED and right[i] <= REPEAT_KILLED:
-            continue
-        raw.append(decode_to_str(seq[i, :length[i]]))
-    raw = [s for s in raw if len(s) >= params.min_contig]
+    def pool_to_sets(pool: DynRecords):
+        """Recover per-k (bases, left, right) triples from a pooled stage
+        snapshot — a row's k-class is its length at this point."""
+        seq, length, subk, left, right, live = (np.asarray(a) for a in pool)
+        sets = {}
+        for k in klist:
+            m = live & (length == k)
+            sets[k] = (seq[m][:, :k], left[m], right[m])
+        return sets
 
-    # contig-end read-consensus extension (the 07EndExtend stage; replaces
-    # the reference's minimap2 pipe, ReflexivDSDynamicKmerMapping)
-    from .mapping import end_extend
+    pool: Optional[DynRecords] = None
+    if resume_idx >= 0 and resume_idx < 4:
+        pool = ckpt.load_records(workdir, stages[resume_idx])
 
-    read_strs = [
-        decode_to_str(bases[i, : lengths[i]]) for i in range(len(lengths))
-    ]
-    raw = end_extend(raw, read_strs)
-    deduped = dedup_contigs(raw)
+    if resume_idx < 0:
+        # count + sort each k; -accurate adds mercy k-mers per k
+        # (Pipelines.java:1388-1391)
+        sorted_sets = {}
+        for k in klist:
+            if params.sensitive:
+                from .mercy import mercy_kmer_table
+
+                limbs, counts = mercy_kmer_table(
+                    bases, lengths, k=k,
+                    min_cov=params.min_kmer_coverage,
+                    max_cov=params.max_kmer_coverage,
+                )
+            else:
+                limbs, counts = count_mod.count_kmers(
+                    bases, lengths, k=k,
+                    min_cov=params.min_kmer_coverage,
+                    max_cov=params.max_kmer_coverage,
+                    front_clip=params.front_clip, end_clip=params.end_clip,
+                )
+            sorted_sets[k] = sort_k_records(limbs, counts, k, params)
+            log.info("k=%d: %d solid k-mers, %d sorted records",
+                     k, len(counts), len(sorted_sets[k][0]))
+        pool = records_from_sorted(
+            [(b, l, r, k) for k, (b, l, r) in sorted_sets.items()]
+        )
+        if workdir:
+            ckpt.save_records(workdir, "00sorted", pool)
+
+    if resume_idx < 1:
+        # pairwise reduction along the k ladder (Pipelines.java:1315-1737)
+        sorted_sets = pool_to_sets(pool)
+        for k1, k2 in zip(klist, klist[1:]):
+            shorts, longs = reduce_k_pair(
+                sorted_sets[k1], sorted_sets[k2], k1, k2)
+            sorted_sets[k1] = shorts
+            sorted_sets[k2] = longs
+            log.info("reduce %d vs %d: %d short k-mers kept", k1, k2,
+                     len(shorts[0]))
+        pool = records_from_sorted(
+            [(b, l, r, k) for k, (b, l, r) in sorted_sets.items()]
+        )
+        if workdir:
+            ckpt.save_records(workdir, "01reduced", pool)
+
+    if resume_idx < 2:
+        pool = run_dyn_extension(pool, params, kmin=kmin, kmax=kmax, seed=seed)
+        if workdir:
+            ckpt.save_records(workdir, "02extended", pool)
+
+    if resume_idx < 3:
+        pool = fixing_rounds(pool, params, kfix=min(31, kmin), seed=seed + 1000)
+        if workdir:
+            ckpt.save_records(workdir, "03fixed", pool)
+
+    if resume_idx < 4:
+        seq, length, subk, left, right, live = (np.asarray(a) for a in pool)
+        raw = []
+        for i in np.nonzero(live)[0]:
+            if left[i] <= REPEAT_KILLED and right[i] <= REPEAT_KILLED:
+                continue
+            raw.append(decode_to_str(seq[i, :length[i]]))
+        raw = [s for s in raw if len(s) >= params.min_contig]
+
+        # contig-end read-consensus extension (the 07EndExtend stage;
+        # replaces the reference's minimap2 pipe,
+        # ReflexivDSDynamicKmerMapping)
+        from .mapping import end_extend
+
+        read_strs = [
+            decode_to_str(bases[i, : lengths[i]]) for i in range(len(lengths))
+        ]
+        raw = end_extend(raw, read_strs)
+        deduped = dedup_contigs(raw)
+        if workdir:
+            ckpt.save_contigs(workdir, "04contigs", deduped)
+    else:
+        deduped = ckpt.load_contigs(workdir, "04contigs")
+
     return [
         (f">Contig-{len(s)}-{i}", s) for i, s in enumerate(deduped)
     ]
@@ -694,7 +747,10 @@ def dynamic_assembly(params: Params, *, seed: int = 0) -> None:
     from .io import load_reads, write_contigs_fasta, write_success_marker
 
     mat, lens = load_reads(params.input_fastq or params.input_fasta)
-    contigs = assemble_dynamic(mat, lens, params, seed=seed)
+    contigs = assemble_dynamic(
+        mat, lens, params, seed=seed,
+        workdir=os.path.join(params.output_path, "steps"),
+    )
     out_dir = os.path.join(params.output_path, "Assembly")
     write_contigs_fasta(
         os.path.join(out_dir, "part-00000"), contigs,

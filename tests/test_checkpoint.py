@@ -1,0 +1,62 @@
+import random
+
+import pytest
+
+import oracle
+from reflexiv_tpu import checkpoint as ckpt
+from reflexiv_tpu.contigs import canonical_contig
+from reflexiv_tpu.dynamic import assemble_dynamic
+from reflexiv_tpu.io import reads_to_matrix
+from reflexiv_tpu.params import Params
+
+
+def _reads(rng, genome, n=260, rl=60):
+    reads = []
+    for _ in range(n):
+        s = rng.randrange(len(genome) - rl)
+        r = genome[s:s + rl]
+        if rng.random() < 0.5:
+            r = oracle.revcomp(r)
+        reads.append(r)
+    return reads
+
+
+def test_meta_checkpoints_and_resume(tmp_path):
+    rng = random.Random(67)
+    genome = "".join(rng.choice("ACGT") for _ in range(400))
+    mat, lens = reads_to_matrix([r.encode() for r in _reads(rng, genome)])
+    params = Params(klist=(15, 21), min_kmer_coverage=2, min_contig=200)
+    wd = str(tmp_path / "steps")
+
+    first = assemble_dynamic(mat, lens, params, seed=1, workdir=wd)
+    assert ckpt.latest_stage(wd) == "04contigs"
+
+    # resume from the final stage: no recompute, identical result
+    second = assemble_dynamic(mat, lens, params, seed=1, workdir=wd)
+    assert [s for _, s in first] == [s for _, s in second]
+
+    # drop the last two stages and resume mid-pipeline
+    ckpt.clear_from(wd, "03fixed")
+    assert ckpt.latest_stage(wd) == "02extended"
+    third = assemble_dynamic(mat, lens, params, seed=1, workdir=wd)
+    canon3 = {canonical_contig(s) for _, s in third}
+    canon1 = {canonical_contig(s) for _, s in first}
+    assert canon3 == canon1
+    assert ckpt.latest_stage(wd) == "04contigs"
+
+
+def test_records_roundtrip(tmp_path):
+    import numpy as np
+    import jax.numpy as jnp
+    from reflexiv_tpu.dynamic import DynRecords
+
+    recs = DynRecords(
+        jnp.asarray(np.arange(12, dtype=np.uint8).reshape(3, 4)),
+        jnp.asarray([4, 3, 2]), jnp.asarray([3, 2, 1]),
+        jnp.asarray([-1, 2, 3]), jnp.asarray([5, -2, 0]),
+        jnp.asarray([True, False, True]),
+    )
+    ckpt.save_records(str(tmp_path), "00sorted", recs)
+    back = ckpt.load_records(str(tmp_path), "00sorted")
+    for a, b in zip(recs, back):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
