@@ -28,6 +28,23 @@ REFERENCE_EXAMPLE_WALL_S = 90.0
 EXAMPLE = "/root/reference/example/paired_dat*.fq.gz"
 
 
+def probe_backend(timeout_s: int = 120) -> bool:
+    """Check the default backend responds (the remote-TPU tunnel can wedge);
+    fall back to CPU when it doesn't so the bench always reports."""
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print(int(jnp.arange(8).sum()))"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+        return out.returncode == 0 and out.stdout.strip().endswith("28")
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def bench_counting(tile: int = 64, iters: int = 3):
     import jax
     import jax.numpy as jnp
@@ -99,6 +116,14 @@ print(json.dumps({
 
 
 def main():
+    if not probe_backend():
+        # wedged accelerator tunnel: report from CPU rather than hanging
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        print("bench: default backend unresponsive, using CPU",
+              file=sys.stderr)
     counting = bench_counting()
     assembly = bench_assembly_subprocess()
     golden = (
