@@ -122,6 +122,98 @@ def sort_count_filter(
     return jnp.stack(skey_cols, axis=-1), row_count, keep
 
 
+@functools.partial(jax.jit)
+def merge_count_tables(
+    limbs_a: jnp.ndarray, counts_a: jnp.ndarray,
+    limbs_b: jnp.ndarray, counts_b: jnp.ndarray,
+):
+    """Merge two unique (kmer, count) tables into one sorted unique table.
+
+    Count-weighted variant of :func:`sort_count_filter`: rows are sorted, and
+    run sums come from a prefix-sum difference (no scatter). Returns
+    ``(limbs, counts, keep)`` with ``keep`` marking unique merged rows.
+    """
+    W = limbs_a.shape[1]
+    limbs = jnp.concatenate([limbs_a, limbs_b], axis=0)
+    counts = jnp.concatenate(
+        [counts_a.astype(jnp.int32), counts_b.astype(jnp.int32)], axis=0)
+    valid = counts > 0
+    N = limbs.shape[0]
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    cols = tuple(
+        jnp.where(valid, limbs[:, i], sentinel) for i in range(W)
+    )
+    sorted_ops = jax.lax.sort(cols + (counts, valid), num_keys=W)
+    skey_cols = sorted_ops[:W]
+    scounts = jnp.where(sorted_ops[W + 1], sorted_ops[W], 0)
+
+    is_start = jnp.zeros(N, dtype=bool).at[0].set(True)
+    for c in skey_cols:
+        is_start = is_start | (c != jnp.roll(c, 1))
+    is_start = is_start.at[0].set(True)
+
+    csum = jnp.cumsum(scounts)
+    pos = jnp.arange(N, dtype=jnp.int32)
+    nxt = jnp.where(is_start, pos, N)
+    next_start = jnp.roll(jax.lax.cummin(nxt, reverse=True), -1).at[-1].set(N)
+    run_sum = csum[jnp.minimum(next_start - 1, N - 1)] - jnp.where(
+        pos > 0, csum[jnp.maximum(pos - 1, 0)], 0
+    )
+    keep = is_start & sorted_ops[W + 1]
+    return jnp.stack(skey_cols, axis=-1), run_sum.astype(jnp.int32), keep
+
+
+def count_kmers_streaming(
+    chunks,
+    *,
+    k: int,
+    min_cov: int,
+    max_cov: int = 10_000_000,
+    front_clip: int = 0,
+    end_clip: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Chunked counting for inputs larger than device memory.
+
+    ``chunks`` yields ``(bases, lengths)`` read batches; each batch is counted
+    on-device and merged into the running unique table (the TPU analog of the
+    reference's shuffle-combine, bounded by table size instead of input
+    size). The coverage band applies once at the end.
+    """
+    table_limbs = np.zeros((0, num_limbs(k)), dtype=np.uint32)
+    table_counts = np.zeros(0, dtype=np.int32)
+    for bases, lengths in chunks:
+        part_limbs, part_counts = count_kmers(
+            bases, lengths, k=k, min_cov=1, max_cov=2_000_000_000,
+            front_clip=front_clip, end_clip=end_clip,
+        )
+        if len(table_counts) == 0:
+            table_limbs, table_counts = part_limbs, part_counts
+            continue
+        # pad both sides to powers of two: bounds the number of merge-shape
+        # recompilations to O(log(table size))
+        def _pad(limbs_np, counts_np):
+            n = len(counts_np)
+            cap = 1
+            while cap < n:
+                cap <<= 1
+            return (
+                np.pad(limbs_np, ((0, cap - n), (0, 0))),
+                np.pad(counts_np, (0, cap - n)),
+            )
+
+        tl, tc = _pad(table_limbs, table_counts)
+        pl, pc = _pad(part_limbs, part_counts)
+        limbs, counts, keep = merge_count_tables(
+            jnp.asarray(tl), jnp.asarray(tc),
+            jnp.asarray(pl), jnp.asarray(pc),
+        )
+        keep_np = np.asarray(keep)
+        table_limbs = np.asarray(limbs)[keep_np]
+        table_counts = np.asarray(counts)[keep_np]
+    band = (table_counts >= min_cov) & (table_counts <= max_cov)
+    return table_limbs[band], table_counts[band]
+
+
 def count_kmers(
     bases: np.ndarray,
     lengths: np.ndarray,

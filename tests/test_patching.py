@@ -1,0 +1,49 @@
+import random
+
+import oracle
+from reflexiv_tpu.patching import patch_contigs
+
+
+def _pairs_from(genome, rng, n=80, insert=220, rl=60):
+    pairs = []
+    for _ in range(n):
+        s = rng.randrange(len(genome) - insert)
+        r1 = genome[s:s + rl]
+        r2 = oracle.revcomp(genome[s + insert - rl:s + insert])
+        pairs.append((r1, r2))
+    return pairs
+
+
+def test_patching_joins_overlapping_linked_contigs():
+    rng = random.Random(5)
+    genome = "".join(rng.choice("ACGT") for _ in range(1200))
+    # two contigs overlapping by 40bp around position 600
+    a = genome[:640]
+    b = genome[600:]
+    pairs = _pairs_from(genome, rng)
+    joined, links = patch_contigs([a, b], pairs)
+    assert len(links) >= 1
+    assert len(joined) == 1
+    assert joined[0] == genome
+
+
+def test_patching_reports_unjoinable_links():
+    rng = random.Random(6)
+    genome = "".join(rng.choice("ACGT") for _ in range(1200))
+    # two contigs with a true sequence GAP (no overlap): link reported,
+    # no join executed
+    a = genome[:580]
+    b = genome[620:]
+    pairs = _pairs_from(genome, rng)
+    joined, links = patch_contigs([a, b], pairs)
+    assert len(links) >= 1
+    assert sorted(joined, key=len) == sorted([a, b], key=len)
+
+
+def test_patching_ignores_ambiguous_and_sparse_links():
+    rng = random.Random(7)
+    g1 = "".join(rng.choice("ACGT") for _ in range(600))
+    g2 = "".join(rng.choice("ACGT") for _ in range(600))
+    # no pairs at all -> nothing changes
+    joined, links = patch_contigs([g1, g2], [])
+    assert joined == [g1, g2] and links == []
