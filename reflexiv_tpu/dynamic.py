@@ -171,15 +171,16 @@ def _variant_pass(
 
     # longs inherit extendability when the short end is extendable
     attr = sright if anchor == "right" else sleft
-    new_attr = jnp.where(
-        is_long & has_short & (short_attr < 0) & (attr >= 0), -1, attr
-    )
-    # longs inherit the short's variant base
-    new_var = jnp.where(is_long & has_short, short_var, svar)
+    resolves_fork = is_long & has_short & (short_attr < 0) & (attr >= 0)
+    new_attr = jnp.where(resolves_fork, -1, attr)
+    # longs inherit the short's variant base ONLY when the short resolves a
+    # fork the long was blocked on — unconditional replacement (first
+    # attempt) corrupted terminal bases with low-k error variants
+    new_var = jnp.where(resolves_fork, short_var, svar)
     sseq = seq[order]
     sseq = jnp.where(
         (jnp.arange(sseq.shape[1], dtype=jnp.int32)[None, :] == svpos[:, None])
-        & (is_long & has_short)[:, None],
+        & resolves_fork[:, None],
         new_var[:, None].astype(sseq.dtype),
         sseq,
     )
@@ -641,6 +642,20 @@ def assemble_dynamic(
                 continue
             raw.append(decode_to_str(seq[i, :length[i]]))
         raw = [s for s in raw if len(s) >= params.min_contig]
+
+        # fixing pass 2 (ReflexivDSDynamicKmerFixing/-RoundTwo): re-count
+        # fixed 31-mers from the reads, fork-filter, and extend the contig
+        # fragments through the read graph — our reassembly machinery is
+        # exactly this semantics
+        import dataclasses as _dc
+        from .reassemble import reassemble_arrays
+
+        kfix = min(31, kmin)
+        fix_params = _dc.replace(params, k=kfix)
+        raw = [
+            s for _, s in reassemble_arrays(
+                bases, lengths, raw, fix_params, seed=seed + 2000)
+        ]
 
         # contig-end read-consensus extension (the 07EndExtend stage;
         # replaces the reference's minimap2 pipe,

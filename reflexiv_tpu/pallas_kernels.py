@@ -26,32 +26,42 @@ LANES = 128
 
 
 def _extract_kernel(k: int, L: int, BR: int):
-    """Kernel body factory: bases block (L, BR) uint32 -> hi/lo (Wn, BR)."""
+    """Kernel body factory: bases block (L, BR) uint32 -> hi/lo (Wn, BR).
+
+    Uses a ``fori_loop`` over base columns (rolling fwd/rc packed state)
+    rather than a fully unrolled python loop: the unrolled form produced a
+    Mosaic program large enough to wedge this environment's remote-compile
+    service.
+    """
     Wn = L - k + 1
     hi_bits = 2 * k - 32  # bits of the packed value living in the hi limb
     hi_mask_val = (1 << hi_bits) - 1 if hi_bits < 32 else 0xFFFFFFFF
 
     def kernel(bases_ref, hi_ref, lo_ref):
         hi_mask = jnp.uint32(hi_mask_val)
-        def store(w, canon_hi, canon_lo):
-            hi_ref[w, :] = canon_hi
-            lo_ref[w, :] = canon_lo
+        zero = jnp.zeros((1, BR), dtype=jnp.uint32)
 
-        zero = jnp.zeros((BR,), dtype=jnp.uint32)
-        fhi, flo, rhi, rlo = zero, zero, zero, zero
-        for j in range(L):
-            b = bases_ref[j, :]
+        def body(j, state):
+            fhi, flo, rhi, rlo = state
+            b = bases_ref[pl.ds(j, 1), :]
             # forward: shift left 2, append b
             fhi = ((fhi << 2) | (flo >> 30)) & hi_mask
             flo = (flo << 2) | b
-            # reverse complement: shift right 2, prepend complement at the top
+            # reverse complement: shift right 2, complement enters at the top
             comp = b ^ 3
             rlo = (rlo >> 2) | (rhi << 30)
-            rhi = (rhi >> 2) | (comp << (hi_bits - 2)) if hi_bits >= 2 else rhi
-            if j >= k - 1:
+            rhi = (rhi >> 2) | (comp << (hi_bits - 2))
+
+            @pl.when(j >= k - 1)
+            def _():
                 lt = (fhi < rhi) | ((fhi == rhi) & (flo <= rlo))
-                store(j - (k - 1), jnp.where(lt, fhi, rhi),
-                      jnp.where(lt, flo, rlo))
+                w = j - (k - 1)
+                hi_ref[pl.ds(w, 1), :] = jnp.where(lt, fhi, rhi)
+                lo_ref[pl.ds(w, 1), :] = jnp.where(lt, flo, rlo)
+
+            return fhi, flo, rhi, rlo
+
+        jax.lax.fori_loop(0, L, body, (zero, zero, zero, zero))
 
     return kernel, Wn
 
