@@ -183,3 +183,101 @@ def extension_round_sharded(
         out_specs=(P("shards"),) * 6,
     )(*recs)
     return Records(out_seq, out_len, out_left, out_right, out_live), overflow
+
+
+# ---------------------------------------------------------------------------
+# end-to-end sharded assembly driver
+# ---------------------------------------------------------------------------
+
+def _pad_rows(recs: Records, cap: int, seq_cap: int) -> Records:
+    """Place live rows into a fresh (cap, seq_cap) record set."""
+    import numpy as np_
+
+    live = np_.asarray(recs.live)
+    idx = np_.nonzero(live)[0]
+    n = len(idx)
+    assert n <= cap, f"{n} live rows exceed capacity {cap}"
+    seq = jnp.zeros((cap, seq_cap), jnp.uint8)
+    seq = seq.at[:n, : recs.seq_capacity].set(recs.seq[idx])
+    return Records(
+        seq,
+        jnp.zeros(cap, jnp.int32).at[:n].set(recs.length[idx]),
+        jnp.zeros(cap, jnp.int32).at[:n].set(recs.left[idx]),
+        jnp.zeros(cap, jnp.int32).at[:n].set(recs.right[idx]),
+        jnp.zeros(cap, bool).at[:n].set(True),
+    )
+
+
+def assemble_reads_sharded(
+    bases,
+    lengths,
+    params,
+    *,
+    mesh: Mesh,
+    seed: int = 0,
+    cap_factor: int = 4,
+):
+    """Full single-k assembly with mesh-sharded counting and extension.
+
+    Counting and every extension round run under ``shard_map`` with
+    hash-routed ``all_to_all`` exchanges; graph construction (fork filters on
+    the deduplicated k-mer table — orders of magnitude smaller than the read
+    stream) runs single-device, mirroring the reference where the counted
+    table is already the shuffle-reduced dataset.
+    """
+    import numpy as np_
+
+    from .assembler import initial_records_from_counts
+    from .contigs import emit_contigs
+    from .records import next_pow2
+
+    n = mesh.devices.size
+    R = bases.shape[0]
+    R_pad = ((R + n - 1) // n) * n
+    bases_p = jnp.zeros((R_pad, bases.shape[1]), jnp.uint8).at[:R].set(
+        jnp.asarray(bases))
+    lens_p = jnp.zeros((R_pad,), jnp.int32).at[:R].set(jnp.asarray(lengths))
+
+    limbs, counts, keep, overflow = count_kmers_sharded(
+        bases_p, lens_p, k=params.k,
+        min_cov=params.min_kmer_coverage,
+        max_cov=params.max_kmer_coverage, mesh=mesh,
+        cap_factor=cap_factor,
+    )
+    assert int(jnp.sum(overflow)) == 0, "counting bucket overflow"
+    keep_np = np_.asarray(keep)
+    table = np_.asarray(limbs)[keep_np]
+    table_counts = np_.asarray(counts)[keep_np]
+
+    recs, n_live = initial_records_from_counts(table, table_counts, params)
+
+    # fixed per-shard capacity; seq capacity grows between jitted rounds
+    cap = max(next_pow2(n_live), n) * 2
+    cap = ((cap + n - 1) // n) * n
+    seq_cap = max(64, next_pow2(2 * params.k))
+    recs = _pad_rows(recs, cap, seq_cap)
+
+    prev = n_live
+    stable = 0
+    for it in range(1, params.max_iterations + 1):
+        lens_live = jnp.where(recs.live, recs.length, 0)
+        top2 = jax.lax.top_k(lens_live, 2)[0]
+        need = int(top2[0] + top2[1]) - (params.k - 1)
+        if need > recs.seq_capacity:
+            grow = max(next_pow2(need), recs.seq_capacity)
+            recs = recs._replace(
+                seq=jnp.pad(recs.seq, ((0, 0), (0, grow - recs.seq_capacity)))
+            )
+        recs, ovf = extension_round_sharded(
+            recs, k=params.k, round_seed=seed + it, mesh=mesh,
+            cap_factor=cap_factor,
+        )
+        assert int(jnp.sum(ovf)) == 0, "extension bucket overflow"
+        live_n = int(jnp.sum(recs.live))
+        if live_n == prev:
+            stable += 1
+        else:
+            stable, prev = 0, live_n
+        if it >= params.min_iterations and stable >= 6:
+            break
+    return emit_contigs(recs, min_contig=params.min_contig)

@@ -85,3 +85,32 @@ def test_sharded_extension_assembles_chain(mesh):
     assert lens_live == [len(genome), len(genome)]
     s = bitpack.decode_to_str(seq[np.nonzero(live)[0][0]][:length[np.nonzero(live)[0][0]]])
     assert s == genome or oracle.revcomp(s) == genome
+
+
+def test_sharded_full_assembly_matches_golden_properties(mesh):
+    """End-to-end sharded assembly on a synthetic genome: same canonical
+    contig as the single-device assembler."""
+    import random
+    from reflexiv_tpu.assembler import assemble_reads
+    from reflexiv_tpu.contigs import canonical_contig
+    from reflexiv_tpu.params import Params
+
+    rng = random.Random(71)
+    genome = "".join(rng.choice("ACGT") for _ in range(500))
+    reads = []
+    for _ in range(250):
+        s = rng.randrange(len(genome) - 60)
+        r = genome[s:s + 60]
+        if rng.random() < 0.5:
+            r = oracle.revcomp(r)
+        reads.append(r)
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    params = Params(k=21, min_kmer_coverage=2, min_contig=300,
+                    min_iterations=12)
+
+    single = assemble_reads(mat, lens, params, seed=2)
+    sharded = parallel.assemble_reads_sharded(
+        mat, lens, params, mesh=mesh, seed=2)
+    canon_single = {canonical_contig(s) for _, s in single}
+    canon_sharded = {canonical_contig(s) for _, s in sharded}
+    assert canon_sharded == canon_single
