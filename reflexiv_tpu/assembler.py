@@ -62,17 +62,22 @@ def run_extension_loop(
     robust to rounds where the random orientation draw happens to pair
     nothing).
     """
+    import jax.numpy as jnp
+
     k = params.k
     stable_rounds = 0
     prev_count = live_count(recs)
+    need = int(extend_mod.required_seq_capacity(recs, k))
     for it in range(1, params.max_iterations + 1):
-        # grow sequence capacity ahead of the worst-case merge
-        need = int(extend_mod.required_seq_capacity(recs, k))
+        # grow sequence capacity ahead of the worst-case merge (power-of-two
+        # jumps keep the number of compiled shape variants logarithmic)
         if need > recs.seq_capacity:
             recs = grow_seq(recs, next_pow2(need))
-        recs = extend_mod.extension_round(recs, k=k, round_seed=seed + it)
-
-        n = live_count(recs)
+        recs, live_n, need_arr = extend_mod.extension_round_fused(
+            recs, jnp.uint32(seed + it), k=k
+        )
+        n = int(live_n)
+        need = int(need_arr)
         log.debug("round %d: %d live records", it, n)
         if n == prev_count:
             stable_rounds += 1
@@ -81,10 +86,10 @@ def run_extension_loop(
             prev_count = n
         if it >= params.min_iterations and stable_rounds >= 6:
             break
-        # compact when under half occupancy (the reference's coalesce,
-        # ReflexivDSMain.java:313-318)
+        # compact at quarter occupancy (the reference's coalesce,
+        # ReflexivDSMain.java:313-318; quarter threshold bounds recompiles)
         cap = recs.capacity
-        if n <= cap // 2 and cap > 32:
+        if n <= cap // 4 and cap > 64:
             recs = compact(recs, max(next_pow2(n), 16))
     return recs
 

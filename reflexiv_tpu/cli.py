@@ -186,11 +186,30 @@ def cmd_stitch(params: Params, seed: int) -> None:
     stitch(params, seed=seed)
 
 
+def _enable_compilation_cache() -> None:
+    """Persist compiled executables across runs: the extension loop compiles
+    one program per (rows, seq-length) capacity pair, which is expensive on
+    backends with slow (remote) compilation."""
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "REFLEXIV_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "reflexiv_tpu"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
+
+
 def main(argv=None) -> int:
     logging.basicConfig(
         level=logging.INFO,
         format="Reflexiv %(asctime)s %(message)s", datefmt="%H:%M:%S",
     )
+    _enable_compilation_cache()
     parser = argparse.ArgumentParser(
         prog="reflexiv-tpu",
         description="TPU-native de novo genome assembler "

@@ -301,10 +301,11 @@ def _draw_markers_dyn(recs: DynRecords, round_seed: int) -> jnp.ndarray:
     tail = pack_bases(
         _gather_window(recs.seq, jnp.maximum(recs.length - n16, 0), n16), n16
     )[:, 0]
+    salt = jnp.asarray(round_seed).astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
     h = mix32(
         head ^ ((tail << 16) | (tail >> 16))
         ^ recs.length.astype(jnp.uint32)
-        ^ jnp.uint32((round_seed * 0x9E3779B9) & 0xFFFFFFFF)
+        ^ salt
     )
     return jnp.where(recs.live, 1 + (h & 1).astype(jnp.int32), 0)
 
@@ -414,14 +415,35 @@ def dyn_extension_round(recs, *, kmin, kmax, round_seed, unique_only=False):
     )
 
 
-def _compact_grow(recs: DynRecords, k_top: int) -> DynRecords:
-    """Host-side capacity management between rounds."""
-    live_n = int(jnp.sum(recs.live))
-    lens = jnp.where(recs.live, recs.length, 0)
+@functools.partial(jax.jit, static_argnames=("kmin", "kmax", "unique_only"))
+def dyn_extension_round_fused(
+    recs: DynRecords, round_seed: jnp.ndarray, *,
+    kmin: int, kmax: int, unique_only: bool = False,
+):
+    """Round + loop statistics in one compiled program (see
+    ``extend.extension_round_fused``)."""
+    marker = _draw_markers_dyn(recs, round_seed)
+    out = dyn_extension_round_with_markers(
+        recs, marker, kmin=kmin, kmax=kmax, unique_only=unique_only
+    )
+    live_n = jnp.sum(out.live)
+    lens = jnp.where(out.live, out.length, 0)
     top2 = jax.lax.top_k(lens, 2)[0]
-    need_len = int(top2[0] + top2[1])
-    cap_rows = max(next_pow2(live_n), 16)
+    need = top2[0] + top2[1]
+    return out, live_n, need
+
+
+def _compact_grow(
+    recs: DynRecords, live_n: int, need_len: int
+) -> DynRecords:
+    """Host-side capacity management between rounds (quantized: compact only
+    at quarter occupancy, grow in power-of-two jumps)."""
     cap_len = max(next_pow2(need_len), recs.seq_capacity)
+    cap_rows = recs.capacity
+    if live_n <= cap_rows // 4 and cap_rows > 64:
+        cap_rows = max(next_pow2(live_n), 16)
+    if cap_rows == recs.capacity and cap_len == recs.seq_capacity:
+        return recs
     order = jnp.argsort(~recs.live, stable=True)
     take = order[:cap_rows]
     seq = recs.seq[take]
@@ -443,13 +465,15 @@ def run_dyn_extension(
     max_rounds = max_rounds or params.max_iterations
     stable = 0
     prev = int(jnp.sum(recs.live))
+    need = int(jnp.max(jnp.where(recs.live, recs.length, 0))) * 2
     for it in range(1, max_rounds + 1):
-        recs = _compact_grow(recs, kmax)
-        recs = dyn_extension_round(
-            recs, kmin=kmin, kmax=kmax, round_seed=seed + it,
+        recs = _compact_grow(recs, prev, need)
+        recs, live_n, need_arr = dyn_extension_round_fused(
+            recs, jnp.uint32(seed + it), kmin=kmin, kmax=kmax,
             unique_only=unique_only,
         )
-        n = int(jnp.sum(recs.live))
+        n = int(live_n)
+        need = int(need_arr)
         if n == prev:
             stable += 1
         else:

@@ -39,8 +39,12 @@ from .bitpack import mix32, pack_bases
 from .records import Records, derive_keys
 
 
-def draw_markers(recs: Records, round_seed: int) -> jnp.ndarray:
-    """Deterministic orientation draw: hash first/last 16 bases + length."""
+def draw_markers(recs: Records, round_seed) -> jnp.ndarray:
+    """Deterministic orientation draw: hash first/last 16 bases + length.
+
+    ``round_seed`` may be a Python int or a traced uint32 scalar (the jitted
+    round passes it as an array so the seed does not bake into the program).
+    """
     n16 = min(16, recs.seq_capacity)
     head = pack_bases(recs.seq[:, :n16], n16)[:, 0]
     tail_idx = jnp.maximum(recs.length - n16, 0)[:, None] + jnp.arange(
@@ -48,11 +52,12 @@ def draw_markers(recs: Records, round_seed: int) -> jnp.ndarray:
     )
     tail_idx = jnp.minimum(tail_idx, recs.seq_capacity - 1)
     tail = pack_bases(jnp.take_along_axis(recs.seq, tail_idx, axis=1), n16)[:, 0]
+    salt = jnp.asarray(round_seed).astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
     h = mix32(
         head
         ^ ((tail << 16) | (tail >> 16))
         ^ recs.length.astype(jnp.uint32)
-        ^ jnp.uint32((round_seed * 0x9E3779B9) & 0xFFFFFFFF)
+        ^ salt
     )
     return jnp.where(recs.live, 1 + (h & 1).astype(jnp.int32), 0)
 
@@ -141,6 +146,24 @@ def extension_round(recs: Records, *, k: int, round_seed: int) -> Records:
     """One full round: draw orientations, then sort -> join."""
     marker = draw_markers(recs, round_seed)
     return extension_round_with_markers(recs, marker, k=k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def extension_round_fused(recs: Records, round_seed: jnp.ndarray, *, k: int):
+    """One round + loop statistics in a single compiled program.
+
+    The driver loop needs (live count, worst-case next length) every round;
+    computing them eagerly compiled hundreds of tiny per-shape programs —
+    18 of 29 s of the example assembly was XLA compilation. Returns
+    ``(records, live_count, needed_seq_capacity)``.
+    """
+    marker = draw_markers(recs, round_seed)
+    out = extension_round_with_markers(recs, marker, k=k)
+    live_n = jnp.sum(out.live)
+    lens = jnp.where(out.live, out.length, 0)
+    top2 = jax.lax.top_k(lens, 2)[0]
+    need = top2[0] + top2[1] - (k - 1)
+    return out, live_n, need
 
 
 def required_seq_capacity(recs: Records, k: int) -> jnp.ndarray:
