@@ -68,6 +68,7 @@ def run_extension_loop(
     stable_rounds = 0
     prev_count = live_count(recs)
     need = int(extend_mod.required_seq_capacity(recs, k))
+    parked: list = []  # finished records moved out of the sort volume
     for it in range(1, params.max_iterations + 1):
         # grow sequence capacity ahead of the worst-case merge (power-of-two
         # jumps keep the number of compiled shape variants logarithmic)
@@ -86,12 +87,70 @@ def run_extension_loop(
             prev_count = n
         if it >= params.min_iterations and stable_rounds >= 6:
             break
+        # park finished records (extendability prefilter,
+        # ReflexivDSKmerProcessing64 analog): they leave the per-round sort
+        if it % 8 == 0 and it >= 8:
+            import numpy as _np
+
+            fin = _np.asarray(extend_mod.finished_mask(recs, k))
+            n_fin = int(fin.sum())
+            if n_fin > max(32, recs.capacity // 8):
+                seq_h = _np.asarray(recs.seq)
+                len_h = _np.asarray(recs.length)
+                left_h = _np.asarray(recs.left)
+                right_h = _np.asarray(recs.right)
+                for i in _np.nonzero(fin)[0]:
+                    parked.append((
+                        seq_h[i, : len_h[i]].copy(), int(left_h[i]),
+                        int(right_h[i]),
+                    ))
+                recs = recs._replace(live=recs.live & ~jnp.asarray(fin))
+                n = n - n_fin
+                prev_count = n
+                log.debug("round %d: parked %d finished records", it, n_fin)
         # compact at quarter occupancy (the reference's coalesce,
         # ReflexivDSMain.java:313-318; quarter threshold bounds recompiles)
         cap = recs.capacity
         if n <= cap // 4 and cap > 64:
             recs = compact(recs, max(next_pow2(n), 16))
+
+    if parked:
+        recs = _merge_parked(recs, parked)
     return recs
+
+
+def _merge_parked(recs: Records, parked: list) -> Records:
+    """Re-combine parked finished records with the active set."""
+    import numpy as _np
+
+    live = _np.asarray(recs.live)
+    idx = _np.nonzero(live)[0]
+    n_active = len(idx)
+    total = n_active + len(parked)
+    max_len = max(
+        [recs.seq_capacity] + [len(s) for s, _, _ in parked]
+    )
+    cap = max(next_pow2(total), 16)
+    seq = _np.zeros((cap, max_len), dtype=_np.uint8)
+    length = _np.zeros(cap, _np.int32)
+    left = _np.zeros(cap, _np.int32)
+    right = _np.zeros(cap, _np.int32)
+    new_live = _np.zeros(cap, bool)
+    seq[:n_active, : recs.seq_capacity] = _np.asarray(recs.seq)[idx]
+    length[:n_active] = _np.asarray(recs.length)[idx]
+    left[:n_active] = _np.asarray(recs.left)[idx]
+    right[:n_active] = _np.asarray(recs.right)[idx]
+    new_live[:n_active] = True
+    for j, (s, l, r) in enumerate(parked):
+        i = n_active + j
+        seq[i, : len(s)] = s
+        length[i] = len(s)
+        left[i], right[i] = l, r
+        new_live[i] = True
+    return Records(
+        jnp.asarray(seq), jnp.asarray(length), jnp.asarray(left),
+        jnp.asarray(right), jnp.asarray(new_live),
+    )
 
 
 def assemble_from_counts(

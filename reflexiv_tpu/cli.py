@@ -36,6 +36,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     # input (Parameter.java:68-104 option names)
     p.add_argument("-fastq", help="input FASTQ file(s), glob/comma list")
     p.add_argument("-fasta", help="input FASTA file(s)")
+    p.add_argument("-paired", help="paired FASTQ files 'mate1,mate2'")
+    p.add_argument("-single", help="single-end FASTQ file(s)")
+    p.add_argument("-inter", help="interleaved paired FASTQ file(s)")
     p.add_argument("-kmerc", help="counted k-mer CSV input (skip counting)")
     p.add_argument("-frag", help="pre-assembled contig/fragment FASTA")
     p.add_argument("-outfile", required=True, help="output directory")
@@ -69,6 +72,13 @@ def _add_common(p: argparse.ArgumentParser) -> None:
 
 
 def params_from_args(args: argparse.Namespace) -> Params:
+    # -paired/-single/-inter are alternative read sources; counting and
+    # assembly are pair-agnostic, so they fold into the fastq pattern
+    # (preprocess treats an exactly-two-file input as a mate pair)
+    fastq = args.fastq
+    for alt in (args.paired, args.single, args.inter):
+        if alt and not fastq:
+            fastq = alt
     return Params(
         k=args.kmer,
         klist=tuple(int(x) for x in args.klist.split(",")),
@@ -82,7 +92,7 @@ def params_from_args(args: argparse.Namespace) -> Params:
         min_iterations=args.miniter,
         front_clip=args.clipf,
         end_clip=args.clipe,
-        input_fastq=args.fastq,
+        input_fastq=fastq,
         input_fasta=args.fasta,
         input_kmer=args.kmerc,
         input_contig=args.frag,
@@ -214,6 +224,9 @@ def main(argv=None) -> int:
         prog="reflexiv-tpu",
         description="TPU-native de novo genome assembler "
                     f"(v{__version__}; Reflexiv method)",
+    )
+    parser.add_argument(
+        "-version", action="version", version=f"reflexiv-tpu {__version__}"
     )
     sub = parser.add_subparsers(dest="command", required=True)
     for cmd in COMMANDS:

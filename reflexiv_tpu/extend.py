@@ -166,6 +166,51 @@ def extension_round_fused(recs: Records, round_seed: jnp.ndarray, *, k: int):
     return out, live_n, need
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def finished_mask(recs: Records, k: int) -> jnp.ndarray:
+    """Records that can never merge again: neither their head (k-1)-mer
+    matches any live record's tail, nor their tail any head.
+
+    The TPU analog of the reference's extendability prefiltering
+    (``ReflexivDSKmerProcessing64``: ``DSFilterStillExtendableKmerEnds`` /
+    ``DSFilterUnExtendableKmer*Ends``, splitting finished k-mers out of the
+    per-round sort volume). Conservative: attr gating is ignored, so a
+    "finished" verdict is always safe to park.
+    """
+    N = recs.capacity
+    ones = jnp.ones(N, dtype=jnp.int32)
+    head = derive_keys(recs, ones, k)          # marker 1: first k-1 bases
+    tail = derive_keys(recs, 2 * ones, k)      # marker 2: last k-1 bases
+    keys = jnp.concatenate([head, tail], axis=0)
+    is_tail = jnp.concatenate(
+        [jnp.zeros(N, jnp.int32), jnp.ones(N, jnp.int32)]
+    )
+    live2 = jnp.concatenate([recs.live, recs.live])
+    Wp = keys.shape[1]
+    keyed = jnp.where(live2[:, None], keys, jnp.uint32(0xFFFFFFFF))
+    order = jnp.lexsort(tuple(keyed[:, i] for i in range(Wp - 1, -1, -1)))
+    skey = keyed[order]
+    stail = is_tail[order]
+    slive = live2[order]
+    prev = jnp.roll(skey, 1, axis=0)
+    is_start = jnp.any(skey != prev, axis=1)
+    is_start = is_start.at[0].set(True)
+    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    n_heads = jax.ops.segment_sum(
+        jnp.where(slive & (stail == 0), 1, 0), seg, num_segments=2 * N
+    )[seg]
+    n_tails = jax.ops.segment_sum(
+        jnp.where(slive & (stail == 1), 1, 0), seg, num_segments=2 * N
+    )[seg]
+    # scatter back: row i of the concat -> record i % N
+    partnered = jnp.zeros(2 * N, dtype=bool).at[order].set(
+        jnp.where(stail == 0, n_tails > 0, n_heads > 0)
+    )
+    can_fwd = partnered[:N]    # head matches someone's tail
+    can_refl = partnered[N:]   # tail matches someone's head
+    return recs.live & ~can_fwd & ~can_refl
+
+
 def required_seq_capacity(recs: Records, k: int) -> jnp.ndarray:
     """Worst-case next-round length: the two longest records merging."""
     lens = jnp.where(recs.live, recs.length, 0)
