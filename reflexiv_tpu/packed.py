@@ -1,0 +1,346 @@
+"""2-bit packed record sequences: the production representation.
+
+Byte-per-base record matrices (:mod:`reflexiv_tpu.records`) are simple but
+4x larger than necessary; at production scale the extension rounds are bound
+by HBM traffic over the sequence matrix. This module stores record sequences
+as uint32 limbs, 16 bases per limb, left-aligned (base j lives in limb
+``j//16`` at bit ``30 - 2*(j%16)``) with the invariant that all bits past
+``2*length`` are zero — so variable-offset window extraction and
+concatenation reduce to vectorized funnel shifts over one or two gathered
+limbs per output limb.
+
+The packed extension round mirrors
+:func:`reflexiv_tpu.extend.extension_round_with_markers` exactly (same sort,
+segment-join, gating, and attr propagation — see that module for the
+reference citations); only the sequence operations differ.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bitpack import mix32
+from .records import Records
+
+BASES_PER_LIMB = 16
+
+
+def limbs_for(n_bases: int) -> int:
+    return (n_bases + BASES_PER_LIMB - 1) // BASES_PER_LIMB
+
+
+class PackedRecords(NamedTuple):
+    seq: jnp.ndarray      # (N, LW) uint32, left-aligned 2-bit bases
+    length: jnp.ndarray   # (N,) int32
+    left: jnp.ndarray     # (N,) int32
+    right: jnp.ndarray    # (N,) int32
+    live: jnp.ndarray     # (N,) bool
+
+    @property
+    def capacity(self) -> int:
+        return self.seq.shape[0]
+
+    @property
+    def limb_capacity(self) -> int:
+        return self.seq.shape[1]
+
+    @property
+    def base_capacity(self) -> int:
+        return self.seq.shape[1] * BASES_PER_LIMB
+
+
+def pack_seq_matrix(bases: jnp.ndarray) -> jnp.ndarray:
+    """(N, L) uint8 codes -> (N, ceil(L/16)) uint32 left-aligned limbs.
+    Caller guarantees codes beyond each row's length are zero."""
+    N, L = bases.shape
+    LW = limbs_for(L)
+    pad = LW * BASES_PER_LIMB - L
+    if pad:
+        bases = jnp.pad(bases, ((0, 0), (0, pad)))
+    grp = bases.reshape(N, LW, BASES_PER_LIMB).astype(jnp.uint32)
+    out = jnp.zeros((N, LW), dtype=jnp.uint32)
+    for i in range(BASES_PER_LIMB):
+        out = out | (grp[:, :, i] << (30 - 2 * i))
+    return out
+
+
+def unpack_seq_matrix(seq: jnp.ndarray, L: int) -> jnp.ndarray:
+    """(N, LW) uint32 -> (N, L) uint8 codes."""
+    N, LW = seq.shape
+    cols = []
+    for i in range(BASES_PER_LIMB):
+        cols.append(((seq >> (30 - 2 * i)) & 3).astype(jnp.uint8))
+    out = jnp.stack(cols, axis=2).reshape(N, LW * BASES_PER_LIMB)
+    return out[:, :L]
+
+
+def from_records(recs: Records) -> PackedRecords:
+    """Byte records -> packed records (zeroing bases beyond length)."""
+    col = jnp.arange(recs.seq_capacity, dtype=jnp.int32)[None, :]
+    clean = jnp.where(col < recs.length[:, None], recs.seq, 0)
+    return PackedRecords(
+        pack_seq_matrix(clean), recs.length, recs.left, recs.right, recs.live
+    )
+
+
+def to_records(p: PackedRecords) -> Records:
+    return Records(
+        unpack_seq_matrix(p.seq, p.base_capacity),
+        p.length, p.left, p.right, p.live,
+    )
+
+
+def extract_window(
+    seq: jnp.ndarray, start: jnp.ndarray, width: int
+) -> jnp.ndarray:
+    """Left-aligned packed window of ``width`` bases from per-row ``start``.
+
+    Returns (N, limbs_for(width)) uint32; bits beyond ``2*width`` zeroed.
+    One funnel shift over two gathered limbs per output limb.
+    """
+    N, LW = seq.shape
+    OW = limbs_for(width)
+    q = (start // BASES_PER_LIMB).astype(jnp.int32)
+    off2 = (2 * (start % BASES_PER_LIMB)).astype(jnp.uint32)
+    m = jnp.arange(OW, dtype=jnp.int32)[None, :]
+    qa = q[:, None] + m
+    a = jnp.take_along_axis(seq, jnp.clip(qa, 0, LW - 1), axis=1)
+    a = jnp.where(qa < LW, a, 0)
+    b = jnp.take_along_axis(seq, jnp.clip(qa + 1, 0, LW - 1), axis=1)
+    b = jnp.where(qa + 1 < LW, b, 0)
+    o = off2[:, None]
+    limb = jnp.where(o > 0, (a << o) | (b >> (32 - o)), a)
+    # mask the final partial limb to `width` bases
+    rem = width - BASES_PER_LIMB * (OW - 1)
+    if rem < BASES_PER_LIMB:
+        mask = jnp.uint32(0xFFFFFFFF) << (32 - 2 * rem)
+        limb = limb.at[:, OW - 1].set(limb[:, OW - 1] & mask)
+    return limb
+
+
+def concat(
+    seq_a: jnp.ndarray, len_a: jnp.ndarray,
+    seq_b: jnp.ndarray, len_b: jnp.ndarray,
+    skip: jnp.ndarray,
+    out_limbs: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row ``a ++ b[skip:]`` on packed streams.
+
+    Relies on the zero-beyond-length invariant of both inputs; preserves it.
+    Returns (packed seq (N, out_limbs), total length).
+    """
+    N = seq_a.shape[0]
+    total = len_a + len_b - skip
+    m = jnp.arange(out_limbs, dtype=jnp.int32)[None, :]
+    base0 = m * BASES_PER_LIMB                      # first base of out limb
+    # part A: window of a at base0 (zeros beyond len_a by invariant)
+    pa = _window_rows(seq_a, base0)
+    # part B: stream b[skip:] placed at output base len_a
+    # within out limb m, B starts at in-limb offset (len_a - base0) if
+    # base0 < len_a else 0; B stream position = base0 - len_a (clamped)
+    bpos = jnp.maximum(base0 - len_a[:, None], 0) + skip[:, None]
+    pb = _window_rows_dyn(seq_b, bpos)
+    shift = 2 * jnp.clip(len_a[:, None] - base0, 0, BASES_PER_LIMB)
+    shift = shift.astype(jnp.uint32)
+    pb = jnp.where(shift >= 32, 0, pb >> shift)
+    out = pa | pb
+    # zero limbs entirely past the total length + mask the partial limb
+    valid_bases = jnp.clip(total[:, None] - base0, 0, BASES_PER_LIMB)
+    tail_mask = jnp.where(
+        valid_bases >= BASES_PER_LIMB,
+        jnp.uint32(0xFFFFFFFF),
+        jnp.where(
+            valid_bases > 0,
+            jnp.uint32(0xFFFFFFFF) << (32 - 2 * valid_bases).astype(jnp.uint32),
+            jnp.uint32(0),
+        ),
+    )
+    return out & tail_mask, total
+
+
+def _window_rows(seq: jnp.ndarray, base0: jnp.ndarray) -> jnp.ndarray:
+    """16-base windows at static-per-column starts (base0 multiples of 16):
+    just a bounds-checked gather."""
+    N, LW = seq.shape
+    q = base0 // BASES_PER_LIMB
+    a = jnp.take_along_axis(seq, jnp.clip(q, 0, LW - 1), axis=1)
+    return jnp.where(q < LW, a, 0)
+
+
+def _window_rows_dyn(seq: jnp.ndarray, bpos: jnp.ndarray) -> jnp.ndarray:
+    """16-base windows at arbitrary per-row/col starts: funnel over 2 limbs."""
+    N, LW = seq.shape
+    q = bpos // BASES_PER_LIMB
+    o = (2 * (bpos % BASES_PER_LIMB)).astype(jnp.uint32)
+    a = jnp.take_along_axis(seq, jnp.clip(q, 0, LW - 1), axis=1)
+    a = jnp.where(q < LW, a, 0)
+    b = jnp.take_along_axis(seq, jnp.clip(q + 1, 0, LW - 1), axis=1)
+    b = jnp.where(q + 1 < LW, b, 0)
+    return jnp.where(o > 0, (a << o) | (b >> (32 - o)), a)
+
+
+def derive_keys_packed(
+    p: PackedRecords, marker: jnp.ndarray, k: int
+) -> jnp.ndarray:
+    """Sort keys: packed (k-1)-base sub-kmer at the marker end (left-aligned
+    limbs, fixed width) — dead rows get the all-ones sentinel."""
+    sub = k - 1
+    start = jnp.where(marker == 1, 0, p.length - sub).astype(jnp.int32)
+    keys = extract_window(p.seq, jnp.maximum(start, 0), sub)
+    return jnp.where(p.live[:, None], keys, jnp.uint32(0xFFFFFFFF))
+
+
+def draw_markers_packed(p: PackedRecords, round_seed) -> jnp.ndarray:
+    """Orientation draw matching :func:`reflexiv_tpu.extend.draw_markers`
+    bit-for-bit (hash of first/last 16 bases + length + salt)."""
+    n16 = min(16, p.base_capacity)
+    head = extract_window(p.seq, jnp.zeros_like(p.length), n16)[:, 0]
+    tail = extract_window(
+        p.seq, jnp.maximum(p.length - n16, 0), n16
+    )[:, 0]
+    # extend.draw_markers packs right-aligned (value = window as integer);
+    # our windows are left-aligned in the limb: shift to match for n16 < 16
+    if n16 < BASES_PER_LIMB:
+        head = head >> (32 - 2 * n16)
+        tail = tail >> (32 - 2 * n16)
+    salt = jnp.asarray(round_seed).astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+    h = mix32(
+        head ^ ((tail << 16) | (tail >> 16))
+        ^ p.length.astype(jnp.uint32) ^ salt
+    )
+    return jnp.where(p.live, 1 + (h & 1).astype(jnp.int32), 0)
+
+
+def compact_packed(p: PackedRecords, new_cap: int) -> PackedRecords:
+    order = jnp.argsort(~p.live, stable=True)
+    take = order[:new_cap]
+    return PackedRecords(
+        p.seq[take], p.length[take], p.left[take], p.right[take], p.live[take]
+    )
+
+
+def grow_packed(p: PackedRecords, new_bases: int) -> PackedRecords:
+    lw = limbs_for(new_bases)
+    pad = lw - p.limb_capacity
+    if pad <= 0:
+        return p
+    return p._replace(seq=jnp.pad(p.seq, ((0, 0), (0, pad))))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def finished_mask_packed(p: PackedRecords, k: int) -> jnp.ndarray:
+    """Packed variant of :func:`reflexiv_tpu.extend.finished_mask`."""
+    N = p.capacity
+    ones = jnp.ones(N, dtype=jnp.int32)
+    head = derive_keys_packed(p, ones, k)
+    tail = derive_keys_packed(p, 2 * ones, k)
+    keys = jnp.concatenate([head, tail], axis=0)
+    is_tail = jnp.concatenate(
+        [jnp.zeros(N, jnp.int32), jnp.ones(N, jnp.int32)]
+    )
+    live2 = jnp.concatenate([p.live, p.live])
+    Wp = keys.shape[1]
+    keyed = jnp.where(live2[:, None], keys, jnp.uint32(0xFFFFFFFF))
+    order = jnp.lexsort(tuple(keyed[:, i] for i in range(Wp - 1, -1, -1)))
+    skey = keyed[order]
+    stail = is_tail[order]
+    slive = live2[order]
+    prev = jnp.roll(skey, 1, axis=0)
+    is_start = jnp.any(skey != prev, axis=1)
+    is_start = is_start.at[0].set(True)
+    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    n_heads = jax.ops.segment_sum(
+        jnp.where(slive & (stail == 0), 1, 0), seg, num_segments=2 * N
+    )[seg]
+    n_tails = jax.ops.segment_sum(
+        jnp.where(slive & (stail == 1), 1, 0), seg, num_segments=2 * N
+    )[seg]
+    partnered = jnp.zeros(2 * N, dtype=bool).at[order].set(
+        jnp.where(stail == 0, n_tails > 0, n_heads > 0)
+    )
+    return p.live & ~partnered[:N] & ~partnered[N:]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def extension_round_packed(p: PackedRecords, round_seed: jnp.ndarray, *, k: int):
+    """One packed sort -> join round + loop stats.
+
+    Same algorithm as ``extend.extension_round_fused`` (see there for the
+    reference mapping); sequence ops in limb space.
+    """
+    N, LW = p.seq.shape
+    sub = k - 1
+    marker = draw_markers_packed(p, round_seed)
+    keys = derive_keys_packed(p, marker, k)
+    Wp = keys.shape[1]
+
+    order = jnp.lexsort(
+        (marker,) + tuple(keys[:, i] for i in range(Wp - 1, -1, -1))
+    )
+    skey = keys[order]
+    smarker = marker[order]
+    sseq = p.seq[order]
+    slen = p.length[order]
+    sleft = p.left[order]
+    sright = p.right[order]
+    slive = p.live[order]
+
+    prev = jnp.roll(skey, 1, axis=0)
+    is_start = jnp.any(skey != prev, axis=1)
+    is_start = is_start.at[0].set(True)
+    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+
+    idx = jnp.arange(N, dtype=jnp.int32)
+    fwd_idx = jax.ops.segment_min(
+        jnp.where(slive & (smarker == 1), idx, N), seg, num_segments=N
+    )[seg]
+    refl_idx = jax.ops.segment_min(
+        jnp.where(slive & (smarker == 2), idx, N), seg, num_segments=N
+    )[seg]
+    has_pair = (fwd_idx < N) & (refl_idx < N)
+
+    f = jnp.minimum(fwd_idx, N - 1)
+    r = jnp.minimum(refl_idx, N - 1)
+    f_left, f_right, f_len = sleft[f], sright[f], slen[f]
+    r_left, r_right, r_len = sleft[r], sright[r], slen[r]
+    f_ext = f_len - sub
+    r_ext = r_len - sub
+
+    c1 = (f_left < 0) & (r_right < 0)
+    c2 = (f_left >= 0) & (r_right >= 0)
+    c3 = (~c1) & (~c2) & (f_left >= 0) & (f_left - r_ext >= 0)
+    c4 = (~c1) & (~c2) & (~c3) & (r_right >= 0) & (r_right - f_ext >= 0)
+    merge = has_pair & (c1 | c2 | c3 | c4)
+
+    bubble = jnp.where(
+        c1 | c2, -1, jnp.where(c3, f_left - r_ext, r_right - f_ext)
+    )
+    new_left = jnp.where(bubble < 0, r_left, jnp.where(f_left > 0, bubble, r_left))
+    new_right = jnp.where(
+        bubble < 0, f_right, jnp.where(f_left > 0, f_right, bubble)
+    )
+
+    merged_seq, new_len = concat(
+        sseq[r], r_len, sseq[f], f_len,
+        jnp.full(N, sub, jnp.int32), LW,
+    )
+
+    i_am_fwd = merge & (idx == fwd_idx)
+    i_am_refl = merge & (idx == refl_idx)
+
+    out_seq = jnp.where(i_am_fwd[:, None], merged_seq, sseq)
+    out_len = jnp.where(i_am_fwd, new_len, slen)
+    out_left = jnp.where(i_am_fwd, new_left, sleft)
+    out_right = jnp.where(i_am_fwd, new_right, sright)
+    out_live = slive & ~i_am_refl
+    out = PackedRecords(out_seq, out_len, out_left, out_right, out_live)
+
+    live_n = jnp.sum(out_live)
+    lens = jnp.where(out_live, out_len, 0)
+    top2 = jax.lax.top_k(lens, 2)[0]
+    need = top2[0] + top2[1] - sub
+    return out, live_n, need
