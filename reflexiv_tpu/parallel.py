@@ -127,6 +127,69 @@ def count_kmers_sharded(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("k", "mesh", "cap_factor")
+)
+def extension_round_sharded_packed(
+    p,  # packed.PackedRecords, arrays sharded over leading axis
+    round_seed: jnp.ndarray,
+    *,
+    k: int,
+    mesh: Mesh,
+    cap_factor: int = 2,
+):
+    """Packed-record variant of :func:`extension_round_sharded`: exchanges
+    uint32 limb rows (4x less ICI traffic than byte rows) and runs the packed
+    local join."""
+    from . import packed as pk
+
+    n = mesh.devices.size
+
+    def local(seq, length, left, right, live, seed):
+        rec = pk.PackedRecords(seq, length, left, right, live)
+        M = seq.shape[0]
+        marker = pk.draw_markers_packed(rec, seed[0])
+        keys = pk.derive_keys_packed(rec, marker, k)
+        W = keys.shape[1]
+        h = mix32(keys[:, 0] ^ jnp.uint32(0x85EBCA6B))
+        for i in range(1, W):
+            h = mix32(h ^ keys[:, i])
+        owner = (h % jnp.uint32(n)).astype(jnp.int32)
+        cap = max(1, cap_factor * M // n)
+        tree = (seq, length, left, right)
+        (seq_r, len_r, left_r, right_r), valid_r, overflow = (
+            _scatter_exchange(tree, owner, live, n, cap)
+        )
+        joined, live_n, _need = pk.extension_round_packed(
+            pk.PackedRecords(seq_r, len_r, left_r, right_r, valid_r),
+            seed[0], k=k,
+        )
+        order = jnp.argsort(~joined.live)
+        take = order[:M]
+        out = pk.PackedRecords(
+            joined.seq[take], joined.length[take], joined.left[take],
+            joined.right[take], joined.live[take],
+        )
+        lost = jnp.sum(joined.live) - jnp.sum(out.live)
+        return (*out, (overflow + lost)[None])
+
+    seed_arr = jnp.broadcast_to(
+        jnp.asarray(round_seed, jnp.uint32), (n,)
+    )
+    out_seq, out_len, out_left, out_right, out_live, overflow = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("shards"),) * 5 + (P("shards"),),
+        out_specs=(P("shards"),) * 6,
+    )(*p, seed_arr)
+    from . import packed as pk2
+
+    return (
+        pk2.PackedRecords(out_seq, out_len, out_left, out_right, out_live),
+        overflow,
+    )
+
+
+@functools.partial(
     jax.jit, static_argnames=("k", "round_seed", "mesh", "cap_factor")
 )
 def extension_round_sharded(
@@ -257,27 +320,27 @@ def assemble_reads_sharded(
     seq_cap = max(64, next_pow2(2 * params.k))
     recs = _pad_rows(recs, cap, seq_cap)
 
+    from . import packed as pk
+
+    p = pk.from_records(recs)
     prev = n_live
     stable = 0
     for it in range(1, params.max_iterations + 1):
-        lens_live = jnp.where(recs.live, recs.length, 0)
+        lens_live = jnp.where(p.live, p.length, 0)
         top2 = jax.lax.top_k(lens_live, 2)[0]
         need = int(top2[0] + top2[1]) - (params.k - 1)
-        if need > recs.seq_capacity:
-            grow = max(next_pow2(need), recs.seq_capacity)
-            recs = recs._replace(
-                seq=jnp.pad(recs.seq, ((0, 0), (0, grow - recs.seq_capacity)))
-            )
-        recs, ovf = extension_round_sharded(
-            recs, k=params.k, round_seed=seed + it, mesh=mesh,
+        if need > p.base_capacity:
+            p = pk.grow_packed(p, next_pow2(need))
+        p, ovf = extension_round_sharded_packed(
+            p, jnp.uint32(seed + it), k=params.k, mesh=mesh,
             cap_factor=cap_factor,
         )
         assert int(jnp.sum(ovf)) == 0, "extension bucket overflow"
-        live_n = int(jnp.sum(recs.live))
+        live_n = int(jnp.sum(p.live))
         if live_n == prev:
             stable += 1
         else:
             stable, prev = 0, live_n
         if it >= params.min_iterations and stable >= 6:
             break
-    return emit_contigs(recs, min_contig=params.min_contig)
+    return emit_contigs(pk.to_records(p), min_contig=params.min_contig)
