@@ -28,7 +28,7 @@ REFERENCE_EXAMPLE_WALL_S = 90.0
 EXAMPLE = "/root/reference/example/paired_dat*.fq.gz"
 
 
-def probe_backend(timeout_s: int = 120) -> bool:
+def probe_backend(timeout_s: int = 300) -> bool:
     """Check the default backend responds (the remote-TPU tunnel can wedge);
     fall back to CPU when it doesn't so the bench always reports."""
     code = (

@@ -149,7 +149,14 @@ def cmd_run(params: Params, seed: int) -> None:
     write_contigs_fasta(os.path.join(out, "part-00000"), contigs,
                         gzip_output=params.gzip_output)
     write_success_marker(out)
-    log.info("wrote %d contigs to %s", len(contigs), out)
+    from .contigs import assembly_stats
+
+    stats = assembly_stats(contigs)
+    log.info(
+        "wrote %d contigs to %s (canonicalized: n=%d total=%dbp "
+        "longest=%d N50=%d)", len(contigs), out, stats["n_contigs"],
+        stats["total_bp"], stats["longest"], stats["n50"],
+    )
 
 
 def cmd_meta(params: Params, seed: int) -> None:

@@ -49,3 +49,28 @@ def canonical_contig(s: str) -> str:
 
 def canonical_set(contigs: List[Tuple[str, str]]) -> set:
     return {canonical_contig(seq) for _, seq in contigs}
+
+
+def assembly_stats(contigs: List[Tuple[str, str]]) -> dict:
+    """Assembly metrics over the RC-canonicalized, deduplicated contig set.
+
+    Note: the emitted FASTA contains one contig per strand (like the
+    reference), so external tools see ~2x these numbers; canonicalized
+    stats are the ones meaningful for parity comparison (BASELINE.md).
+    """
+    seqs = sorted(canonical_set(contigs), key=len, reverse=True)
+    if not seqs:
+        return {"n_contigs": 0, "total_bp": 0, "longest": 0, "n50": 0}
+    total = sum(len(s) for s in seqs)
+    acc, n50 = 0, 0
+    for s in seqs:
+        acc += len(s)
+        if acc * 2 >= total:
+            n50 = len(s)
+            break
+    return {
+        "n_contigs": len(seqs),
+        "total_bp": total,
+        "longest": len(seqs[0]),
+        "n50": n50,
+    }

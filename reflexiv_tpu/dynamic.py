@@ -796,4 +796,11 @@ def dynamic_assembly(params: Params, *, seed: int = 0) -> None:
         gzip_output=params.gzip_output,
     )
     write_success_marker(out_dir)
-    log.info("meta assembly: %d contigs -> %s", len(contigs), out_dir)
+    from .contigs import assembly_stats
+
+    stats = assembly_stats(contigs)
+    log.info(
+        "meta assembly: %d contigs -> %s (canonicalized: n=%d total=%dbp "
+        "longest=%d N50=%d)", len(contigs), out_dir, stats["n_contigs"],
+        stats["total_bp"], stats["longest"], stats["n50"],
+    )
