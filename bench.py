@@ -28,21 +28,31 @@ REFERENCE_EXAMPLE_WALL_S = 90.0
 EXAMPLE = "/root/reference/example/paired_dat*.fq.gz"
 
 
-def probe_backend(timeout_s: int = 300) -> bool:
-    """Check the default backend responds (the remote-TPU tunnel can wedge);
-    fall back to CPU when it doesn't so the bench always reports."""
+def bench_counting_subprocess(timeout_s: int = 900):
+    """Run the counting bench on the default backend in a subprocess.
+
+    The remote-TPU tunnel can take minutes to hand out a session and can
+    wedge entirely; isolating the attempt keeps the bench itself from
+    hanging. Returns the result dict, or None on timeout/failure.
+    """
     code = (
-        "import jax, jax.numpy as jnp;"
-        "print(int(jnp.arange(8).sum()))"
-    )
+        "import json, sys; sys.path.insert(0, %r);"
+        "from bench import bench_counting;"
+        "print('RESULT ' + json.dumps(bench_counting()))"
+    ) % os.path.dirname(os.path.abspath(__file__))
     try:
         out = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True,
             timeout=timeout_s,
         )
-        return out.returncode == 0 and out.stdout.strip().endswith("28")
     except subprocess.TimeoutExpired:
-        return False
+        return None
+    if out.returncode != 0:
+        return None
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    return None
 
 
 def bench_counting(tile: int = 64, iters: int = 3):
@@ -116,7 +126,8 @@ print(json.dumps({
 
 
 def main():
-    if not probe_backend():
+    counting = bench_counting_subprocess()
+    if counting is None:
         # wedged accelerator tunnel: report from CPU rather than hanging
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
@@ -124,7 +135,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         print("bench: default backend unresponsive, using CPU",
               file=sys.stderr)
-    counting = bench_counting()
+        counting = bench_counting()
     assembly = bench_assembly_subprocess()
     golden = (
         assembly["canonical"] == 1 and assembly["lengths"] == [4558]
