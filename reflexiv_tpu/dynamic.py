@@ -511,19 +511,38 @@ def fixing_rounds(
     )
 
 
-def dedup_contigs(contigs: List[str]) -> List[str]:
+def dedup_contigs(contigs: List[str], seed_k: int = 31) -> List[str]:
     """Drop contigs contained in a longer contig on either strand
-    (``ReflexivDSDynamicKmerDedup``, ``:138-340``). Host-side exact check."""
+    (``ReflexivDSDynamicKmerDedup``, ``:138-340``).
+
+    Like the reference, containment candidates are seeded by shared marker
+    k-mers (``DSMarkerKmerSelection``/``geq(2)``) before the exact check —
+    the seed index keeps this near-linear instead of all-pairs substring
+    scans.
+    """
     from .contigs import revcomp_str
 
     out: List[str] = []
-    kept_fwd: List[str] = []
+    stride = 16
+    seed_index: dict = {}  # strided k-mer -> list of kept contig ids
     for s in sorted(set(contigs), key=len, reverse=True):
+        if len(s) < seed_k:
+            continue
         rc = revcomp_str(s)
-        contained = any(s in t or rc in t for t in kept_fwd)
+        # kept contigs index seeds every `stride` positions; querying one
+        # dense window of `stride` consecutive probes guarantees hitting a
+        # stored seed for any true containment (offset alignment covered)
+        cands = set()
+        n_probe = min(stride, len(s) - seed_k + 1)
+        for q in (s, rc):
+            for i in range(n_probe):
+                cands.update(seed_index.get(q[i:i + seed_k], ()))
+        contained = any(s in out[c] or rc in out[c] for c in cands)
         if not contained:
-            kept_fwd.append(s)
+            cid = len(out)
             out.append(s)
+            for i in range(0, len(s) - seed_k + 1, stride):
+                seed_index.setdefault(s[i:i + seed_k], []).append(cid)
     return out
 
 

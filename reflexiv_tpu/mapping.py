@@ -26,13 +26,53 @@ MIN_SUPPORT = 2       # reads required to accept an extension column
 MIN_MAJORITY = 0.7    # column majority fraction
 
 
-def _pack_windows(seqs: List[str], k: int) -> Dict[str, List[Tuple[int, int]]]:
-    """anchor string -> [(seq_idx, end_pos_of_window), ...] (host index)."""
-    index: Dict[str, List[Tuple[int, int]]] = {}
-    for i, s in enumerate(seqs):
-        for j in range(len(s) - k + 1):
-            index.setdefault(s[j: j + k], []).append((i, j + k))
-    return index
+class _WindowIndex:
+    """uint64-packed k-mer -> (seq_idx, end_pos) lookups over all read
+    windows, built with vectorized numpy instead of a per-window Python loop
+    (k <= 31)."""
+
+    def __init__(self, seqs: List[str], k: int):
+        from .bitpack import encode_ascii
+
+        self.k = k
+        self.seqs = seqs
+        keys = []
+        sidx = []
+        ends = []
+        for i, s in enumerate(seqs):
+            n = len(s)
+            if n < k:
+                continue
+            codes = encode_ascii(
+                np.frombuffer(s.encode(), np.uint8)).astype(np.uint64)
+            W = n - k + 1
+            vals = np.zeros(W, np.uint64)
+            for j in range(k):
+                vals = (vals << np.uint64(2)) | codes[j: j + W]
+            keys.append(vals)
+            sidx.append(np.full(W, i, np.int32))
+            ends.append(np.arange(k, n + 1, dtype=np.int32))
+        if keys:
+            keys = np.concatenate(keys)
+            order = np.argsort(keys, kind="stable")
+            self.keys = keys[order]
+            self.sidx = np.concatenate(sidx)[order]
+            self.ends = np.concatenate(ends)[order]
+        else:
+            self.keys = np.zeros(0, np.uint64)
+            self.sidx = np.zeros(0, np.int32)
+            self.ends = np.zeros(0, np.int32)
+
+    def lookup(self, kmer: str) -> List[Tuple[int, int]]:
+        from .bitpack import encode_ascii
+
+        codes = encode_ascii(np.frombuffer(kmer.encode(), np.uint8))
+        val = np.uint64(0)
+        for b in codes:
+            val = (val << np.uint64(2)) | np.uint64(b)
+        lo = np.searchsorted(self.keys, val, side="left")
+        hi = np.searchsorted(self.keys, val, side="right")
+        return [(int(self.sidx[j]), int(self.ends[j])) for j in range(lo, hi)]
 
 
 def _consensus_extension(tails: List[str]) -> str:
@@ -69,14 +109,14 @@ def end_extend(
     """
     # read anchor index over both strands, built once
     both_reads = reads + [revcomp_str(r) for r in reads]
-    index = _pack_windows(both_reads, anchor)
+    index = _WindowIndex(both_reads, anchor)
 
     def extend_right(seq: str) -> str:
         for _ in range(max_rounds):
             if len(seq) < anchor:
                 return seq
             key = seq[-anchor:]
-            hits = index.get(key, ())
+            hits = index.lookup(key)
             tails = [
                 both_reads[i][end:] for i, end in hits
                 if len(both_reads[i]) > end

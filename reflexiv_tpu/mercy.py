@@ -104,12 +104,18 @@ def mercy_kmer_table(
     )
     mercy_np = np.asarray(mercy)
     q_np = np.asarray(q_limbs)
-    # unique mercy kmers
-    mercy_keys = {tuple(row) for row in q_np[mercy_np]}
+    # vectorized membership: view limb rows as void records
+    mercy_rows = np.unique(
+        np.ascontiguousarray(q_np[mercy_np]), axis=0
+    ) if mercy_np.any() else np.zeros((0, q_np.shape[1]), q_np.dtype)
+
+    def _as_void(a):
+        a = np.ascontiguousarray(a)
+        return a.view([("", a.dtype)] * a.shape[1]).ravel()
+
     keep = solid_mask.copy()
-    for i, row in enumerate(map(tuple, all_limbs)):
-        if not keep[i] and row in mercy_keys:
-            keep[i] = True
+    if len(mercy_rows):
+        keep |= np.isin(_as_void(all_limbs), _as_void(mercy_rows))
     n_mercy = int(keep.sum() - solid_mask.sum())
     log.info("mercy k=%d: %d solid + %d mercy k-mers",
              k, int(solid_mask.sum()), n_mercy)
