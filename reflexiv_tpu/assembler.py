@@ -99,7 +99,7 @@ def _run_extension_loop_packed(
         else:
             stable_rounds = 0
             prev_count = n
-        if it >= params.min_iterations and stable_rounds >= 6:
+        if it >= params.min_iterations and stable_rounds >= 12:
             break
         if it % 8 == 0 and it >= 8:
             fin = _np.asarray(pk.finished_mask_packed(p, k))
@@ -179,7 +179,7 @@ def _run_extension_loop_bytes(
         else:
             stable_rounds = 0
             prev_count = n
-        if it >= params.min_iterations and stable_rounds >= 6:
+        if it >= params.min_iterations and stable_rounds >= 12:
             break
         # park finished records (extendability prefilter,
         # ReflexivDSKmerProcessing64 analog): they leave the per-round sort

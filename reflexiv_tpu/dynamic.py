@@ -240,7 +240,7 @@ def _reduce_pair_device(seq, length, left, right, live, *, k1: int, kpad: int):
     nxt_live = jnp.roll(slive, -1)
     # successor starts with me iff our packed keys agree on my first `len`
     # bases; compare via masked base window
-    sseq = jnp.where(col < length[:, None], seq, 0)[order]
+    sseq = padded[order]
     nxt_seq = jnp.roll(sseq, -1, axis=0)
     same_prefix = jnp.all(
         jnp.where(col < slen[:, None], sseq == nxt_seq, True), axis=1
@@ -311,14 +311,14 @@ def _draw_markers_dyn(recs: DynRecords, round_seed: int) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kmin", "kmax", "unique_only")
+    jax.jit, static_argnames=("kmin", "unique_only")
 )
 def dyn_extension_round_with_markers(
     recs: DynRecords,
     marker: jnp.ndarray,
     *,
     kmin: int,
-    kmax: int,
+    kmax: int = 0,  # unused; kept for API stability
     unique_only: bool = False,
 ) -> DynRecords:
     """One mixed-k sort -> join round.
@@ -381,9 +381,14 @@ def dyn_extension_round_with_markers(
     merge = has_pair & prefix_ok & (c1 | c2 | c3 | c4)
     bubble = jnp.where(c1 | c2, -1, jnp.where(c3, f_left - r_ext, r_right - f_ext))
 
-    # attr propagation of the dynamic reflexivExtend
-    left_free = jnp.where(r_left >= 0, r_left, f_left - r_ext)
-    right_free = jnp.where(f_right >= 0, f_right, r_right - f_ext - extra)
+    # attr propagation of the dynamic reflexivExtend; negative magnitudes are
+    # clamped so repeated merges can never drift to the REPEAT_KILLED sentinel
+    left_free = jnp.maximum(
+        jnp.where(r_left >= 0, r_left, f_left - r_ext), -1_000_000
+    )
+    right_free = jnp.maximum(
+        jnp.where(f_right >= 0, f_right, r_right - f_ext - extra), -1_000_000
+    )
     new_left = jnp.where(bubble < 0, left_free,
                          jnp.where(f_left > 0, bubble, left_free))
     new_right = jnp.where(bubble < 0, right_free,
@@ -415,7 +420,7 @@ def dyn_extension_round(recs, *, kmin, kmax, round_seed, unique_only=False):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("kmin", "kmax", "unique_only"))
+@functools.partial(jax.jit, static_argnames=("kmin", "unique_only"))
 def dyn_extension_round_fused(
     recs: DynRecords, round_seed: jnp.ndarray, *,
     kmin: int, kmax: int, unique_only: bool = False,
@@ -478,7 +483,7 @@ def run_dyn_extension(
             stable += 1
         else:
             stable, prev = 0, n
-        if it >= params.min_iterations and stable >= 6:
+        if it >= params.min_iterations and stable >= 12:
             break
     return recs
 
@@ -526,16 +531,18 @@ def dedup_contigs(contigs: List[str], seed_k: int = 31) -> List[str]:
     stride = 16
     seed_index: dict = {}  # strided k-mer -> list of kept contig ids
     for s in sorted(set(contigs), key=len, reverse=True):
-        if len(s) < seed_k:
-            continue
         rc = revcomp_str(s)
+        if len(s) < seed_k + stride - 1:
+            # too short for the probe-window guarantee: exact scan (rare)
+            if not any(s in t or rc in t for t in out):
+                out.append(s)
+            continue
         # kept contigs index seeds every `stride` positions; querying one
         # dense window of `stride` consecutive probes guarantees hitting a
         # stored seed for any true containment (offset alignment covered)
         cands = set()
-        n_probe = min(stride, len(s) - seed_k + 1)
         for q in (s, rc):
-            for i in range(n_probe):
+            for i in range(stride):
                 cands.update(seed_index.get(q[i:i + seed_k], ()))
         contained = any(s in out[c] or rc in out[c] for c in cands)
         if not contained:
@@ -593,6 +600,27 @@ def assemble_dynamic(
     from .bitpack import decode_to_str
     from .records import REPEAT_KILLED
     from . import checkpoint as ckpt
+
+    # guard resume against parameter changes: a pool checkpointed under a
+    # different klist would silently lose k-classes in pool_to_sets
+    if workdir:
+        import json as _json
+
+        sig = {
+            "klist": sorted(params.klist),
+            "min_cov": params.min_kmer_coverage,
+            "min_error": params.min_error_coverage,
+        }
+        sig_path = os.path.join(workdir, "params.json")
+        if os.path.exists(sig_path):
+            with open(sig_path) as fh:
+                old = _json.load(fh)
+            if old != sig:
+                log.info("meta params changed; discarding stale checkpoints")
+                ckpt.clear_from(workdir, ckpt.META_STAGES[0])
+        os.makedirs(workdir, exist_ok=True)
+        with open(sig_path, "w") as fh:
+            _json.dump(sig, fh)
 
     resume = ckpt.latest_stage(workdir) if workdir else None
     if resume:

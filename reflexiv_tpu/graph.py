@@ -75,7 +75,12 @@ def _fork_attr(
 
     winner = is_start & svalid
     extendable = (group_size[seg] == 1) | all_killable[seg]
-    attr_sorted = jnp.where(extendable, -1 - scover, blocked)
+    # clamp the coverage tag so extreme-coverage k-mers can never push the
+    # attr to the REPEAT_KILLED sentinel (records.py) — only the sign and
+    # blocked distances are load-bearing downstream
+    attr_sorted = jnp.where(
+        extendable, -1 - jnp.minimum(scover, 100_000), blocked
+    )
 
     # scatter back to input row order
     winner_out = jnp.zeros(N, dtype=bool).at[order].set(winner)

@@ -196,7 +196,10 @@ def derive_keys_packed(
 
 def draw_markers_packed(p: PackedRecords, round_seed) -> jnp.ndarray:
     """Orientation draw matching :func:`reflexiv_tpu.extend.draw_markers`
-    bit-for-bit (hash of first/last 16 bases + length + salt)."""
+    (hash of first/last 16 bases + length + salt). Bit-identical to the byte
+    path whenever the byte records hold >= 16 sequence columns (always true
+    for k >= 17; for smaller k the two paths draw differently but each is
+    self-consistent)."""
     n16 = min(16, p.base_capacity)
     head = extract_window(p.seq, jnp.zeros_like(p.length), n16)[:, 0]
     tail = extract_window(

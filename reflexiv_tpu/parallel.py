@@ -341,6 +341,6 @@ def assemble_reads_sharded(
             stable += 1
         else:
             stable, prev = 0, live_n
-        if it >= params.min_iterations and stable >= 6:
+        if it >= params.min_iterations and stable >= 12:
             break
     return emit_contigs(pk.to_records(p), min_contig=params.min_contig)
