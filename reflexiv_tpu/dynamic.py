@@ -374,25 +374,13 @@ def dyn_extension_round_with_markers(
         jnp.where(col < r_sub[:, None], f_head == r_tail, True), axis=1
     ) & (r_sub <= f_sub)
 
-    c1 = (f_left < 0) & (r_right < 0)
-    c2 = (f_left >= 0) & (r_right >= 0)
-    c3 = (~c1) & (~c2) & (f_left >= 0) & (f_left - r_ext >= 0)
-    c4 = (~c1) & (~c2) & (~c3) & (r_right >= 0) & (r_right - f_ext - extra >= 0)
-    merge = has_pair & prefix_ok & (c1 | c2 | c3 | c4)
-    bubble = jnp.where(c1 | c2, -1, jnp.where(c3, f_left - r_ext, r_right - f_ext))
+    from .join_core import merge_gate
 
-    # attr propagation of the dynamic reflexivExtend; negative magnitudes are
-    # clamped so repeated merges can never drift to the REPEAT_KILLED sentinel
-    left_free = jnp.maximum(
-        jnp.where(r_left >= 0, r_left, f_left - r_ext), -1_000_000
+    gate = merge_gate(
+        f_left, f_right, r_left, r_right, f_ext, r_ext, extra=extra
     )
-    right_free = jnp.maximum(
-        jnp.where(f_right >= 0, f_right, r_right - f_ext - extra), -1_000_000
-    )
-    new_left = jnp.where(bubble < 0, left_free,
-                         jnp.where(f_left > 0, bubble, left_free))
-    new_right = jnp.where(bubble < 0, right_free,
-                          jnp.where(f_left > 0, right_free, bubble - extra))
+    merge = has_pair & prefix_ok & gate.merge
+    new_left, new_right = gate.new_left, gate.new_right
 
     new_len = r_len + f_len - r_sub
     from_r = col < r_len[:, None]

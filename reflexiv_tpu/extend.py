@@ -90,35 +90,23 @@ def extension_round_with_markers(
     is_start = is_start.at[0].set(True)
     seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
 
+    from .join_core import first_per_segment, merge_gate
+
     idx = jnp.arange(N, dtype=jnp.int32)
-    fwd_idx = jax.ops.segment_min(
-        jnp.where(slive & (smarker == 1), idx, N), seg, num_segments=N
-    )[seg]
-    refl_idx = jax.ops.segment_min(
-        jnp.where(slive & (smarker == 2), idx, N), seg, num_segments=N
-    )[seg]
+    fwd_idx = first_per_segment(seg, slive & (smarker == 1), N)
+    refl_idx = first_per_segment(seg, slive & (smarker == 2), N)
     has_pair = (fwd_idx < N) & (refl_idx < N)
 
     f = jnp.minimum(fwd_idx, N - 1)
     r = jnp.minimum(refl_idx, N - 1)
     f_left, f_right, f_len = sleft[f], sright[f], slen[f]
     r_left, r_right, r_len = sleft[r], sright[r], slen[r]
-    f_ext = f_len - sub
-    r_ext = r_len - sub
 
-    c1 = (f_left < 0) & (r_right < 0)
-    c2 = (f_left >= 0) & (r_right >= 0)
-    c3 = (~c1) & (~c2) & (f_left >= 0) & (f_left - r_ext >= 0)
-    c4 = (~c1) & (~c2) & (~c3) & (r_right >= 0) & (r_right - f_ext >= 0)
-    merge = has_pair & (c1 | c2 | c3 | c4)
-
-    bubble = jnp.where(
-        c1 | c2, -1, jnp.where(c3, f_left - r_ext, r_right - f_ext)
+    gate = merge_gate(
+        f_left, f_right, r_left, r_right, f_len - sub, r_len - sub
     )
-    new_left = jnp.where(bubble < 0, r_left, jnp.where(f_left > 0, bubble, r_left))
-    new_right = jnp.where(
-        bubble < 0, f_right, jnp.where(f_left > 0, f_right, bubble)
-    )
+    merge = has_pair & gate.merge
+    new_left, new_right = gate.new_left, gate.new_right
     new_len = r_len + f_len - sub
 
     # merged sequence: r.seq columns < r_len, then f.seq shifted by (r_len - sub)
