@@ -22,6 +22,10 @@ if EVERY losing branch is error-killable (loser.cover <= minErrorCoverage and
 winner.cover >= 2 * loser.cover); the reference's scan applies the rule
 against the last-compared loser only, which is intra-group-order dependent —
 ours is the deterministic, order-independent strengthening.
+
+TPU note: both passes run in sorted space, chaining the second pass off the
+first pass's permutation — attrs are never scattered back to input order
+(scatters serialize on TPU; record order is irrelevant downstream).
 """
 from __future__ import annotations
 
@@ -35,28 +39,36 @@ from .bitpack import pack_bases, revcomp_bases, unpack_bases
 from .records import Records, make_records
 
 
-def _fork_attr(
-    keys: jnp.ndarray,    # (N, Wp) uint32 group keys (sub-kmer limbs)
+def _fork_pass(
+    bases: jnp.ndarray,   # (N, k) uint8, any order
     cover: jnp.ndarray,   # (N,) int32
-    ext: jnp.ndarray,     # (N,) uint8 — the single differing base
     valid: jnp.ndarray,   # (N,) bool
     *,
+    lo: int,
+    hi: int,
+    ext_col: int,
     min_error: int,
     blocked: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One fork-filter pass. Returns (winner_mask, attr) in input row order."""
-    N, Wp = keys.shape
-    sentinel = jnp.uint32(0xFFFFFFFF)
-    keyed = jnp.where(valid[:, None], keys, sentinel)
-    # sort: key asc, then coverage desc, then ext desc -> winner first in group
-    inv_cover = ~cover.astype(jnp.uint32)
-    inv_ext = ~ext.astype(jnp.uint32)
+    carry: jnp.ndarray = None,
+):
+    """One fork-filter pass grouping on bases[:, lo:hi] with the variant base
+    at ``ext_col``. Returns (bases, cover, winner, attr, carry) in THIS
+    PASS's sorted order (``carry`` rides the same permutation)."""
+    N = bases.shape[0]
+    width = hi - lo
+    keys = pack_bases(bases[:, lo:hi], width)
+    Wp = keys.shape[1]
+    keyed = jnp.where(valid[:, None], keys, jnp.uint32(0xFFFFFFFF))
+    ext = bases[:, ext_col].astype(jnp.uint32)
+    # key asc, then coverage desc, then ext desc -> group winner first
     order = jnp.lexsort(
-        (inv_ext, inv_cover) + tuple(keyed[:, i] for i in range(Wp - 1, -1, -1))
+        (~ext, ~cover.astype(jnp.uint32))
+        + tuple(keyed[:, i] for i in range(Wp - 1, -1, -1))
     )
-    skey = keyed[order]
+    sbases = bases[order]
     scover = cover[order]
     svalid = valid[order]
+    skey = keyed[order]
 
     prev = jnp.roll(skey, 1, axis=0)
     is_start = jnp.any(skey != prev, axis=1)
@@ -68,7 +80,6 @@ def _fork_attr(
     win_cover = jax.ops.segment_max(
         jnp.where(svalid, scover, -1), seg, num_segments=N
     )
-    # per-loser error-kill test against the group winner's coverage
     killable = (scover <= min_error) & (win_cover[seg] >= 2 * scover)
     loser_ok = jnp.where(is_start | ~svalid, 1, killable.astype(jnp.int32))
     all_killable = jax.ops.segment_min(loser_ok, seg, num_segments=N) > 0
@@ -78,14 +89,9 @@ def _fork_attr(
     # clamp the coverage tag so extreme-coverage k-mers can never push the
     # attr to the REPEAT_KILLED sentinel (records.py) — only the sign and
     # blocked distances are load-bearing downstream
-    attr_sorted = jnp.where(
-        extendable, -1 - jnp.minimum(scover, 100_000), blocked
-    )
-
-    # scatter back to input row order
-    winner_out = jnp.zeros(N, dtype=bool).at[order].set(winner)
-    attr_out = jnp.zeros(N, dtype=jnp.int32).at[order].set(attr_sorted)
-    return winner_out, attr_out
+    attr = jnp.where(extendable, -1 - jnp.minimum(scover, 100_000), blocked)
+    scarry = carry[order] if carry is not None else None
+    return sbases, scover, winner, attr, scarry
 
 
 @functools.partial(jax.jit, static_argnames=("k", "min_error"))
@@ -101,7 +107,7 @@ def build_initial_records(
     Returns ``(records, marker)`` where every live record is a full k-mer
     (seq length k) in reflected representation (marker 2), matching the state
     entering ``DSkmerRandomReflection`` in the reference flow
-    (``ReflexivDSMain.java:241-259``).
+    (``ReflexivDSMain.java:241-259``). Row order is pass-2 sorted order.
     """
     sub = k - 1
     bases_f = unpack_bases(kmer_limbs, k)          # (U, k)
@@ -110,26 +116,28 @@ def build_initial_records(
     cover = jnp.concatenate([counts, counts], axis=0).astype(jnp.int32)
     valid = jnp.ones(bases.shape[0], dtype=bool)
 
-    # pass 1: prefix groups -> right-end attr (DSFilterForkSubKmerWithErrorCorrection)
-    pkeys = pack_bases(bases[:, :sub], sub)
-    win_f, right = _fork_attr(
-        pkeys, cover, bases[:, k - 1], valid, min_error=min_error, blocked=sub
+    # pass 1: prefix groups -> right-end attr
+    # (DSFilterForkSubKmerWithErrorCorrection)
+    bases1, cover1, win1, right1, _ = _fork_pass(
+        bases, cover, valid, lo=0, hi=sub, ext_col=k - 1,
+        min_error=min_error, blocked=sub,
     )
 
     # pass 2: suffix groups over pass-1 survivors -> left-end attr
-    # (DSFilterForkReflectedSubKmerWithErrorCorrection)
-    skeys = pack_bases(bases[:, 1:], sub)
-    win_r, left = _fork_attr(
-        skeys, cover, bases[:, 0], win_f, min_error=min_error, blocked=sub
+    # (DSFilterForkReflectedSubKmerWithErrorCorrection); chained in pass-1
+    # sorted space, right attrs riding the same permutation
+    bases2, cover2, win2, left2, right2 = _fork_pass(
+        bases1, cover1, win1, lo=1, hi=k, ext_col=0,
+        min_error=min_error, blocked=sub, carry=right1,
     )
 
-    live = win_f & win_r
+    live = win2
     recs = make_records(
-        seq=bases,
-        length=jnp.full(bases.shape[0], k, dtype=jnp.int32),
-        left=left,
-        right=right,
+        seq=bases2,
+        length=jnp.full(bases2.shape[0], k, dtype=jnp.int32),
+        left=left2,
+        right=right2,
         live=live,
     )
-    marker = jnp.full(bases.shape[0], 2, dtype=jnp.int32)
+    marker = jnp.full(bases2.shape[0], 2, dtype=jnp.int32)
     return recs, marker
