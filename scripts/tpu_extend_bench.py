@@ -32,7 +32,7 @@ def main():
     N = 1 << 20
     L = 64
     seq = np.zeros((N, L), np.uint8)
-    idx = rng.permutation(G)[:N]
+    idx = rng.integers(0, G, N)
     for col in range(k):
         seq[:, col] = genome[idx + col]
     recs = Records(

@@ -60,3 +60,22 @@ def test_records_roundtrip(tmp_path):
     back = ckpt.load_records(str(tmp_path), "00sorted")
     for a, b in zip(recs, back):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_discards_stale_stages_on_klist_change(tmp_path):
+    rng = random.Random(68)
+    genome = "".join(rng.choice("ACGT") for _ in range(300))
+    mat, lens = reads_to_matrix([r.encode() for r in _reads(rng, genome, n=200)])
+    wd = str(tmp_path / "steps")
+    p1 = Params(klist=(15, 21), min_kmer_coverage=2, min_contig=150)
+    assemble_dynamic(mat, lens, p1, seed=1, workdir=wd)
+    assert ckpt.latest_stage(wd) == "04contigs"
+
+    # different klist: stale checkpoints must be discarded, not resumed
+    p2 = Params(klist=(17, 21), min_kmer_coverage=2, min_contig=150)
+    out = assemble_dynamic(mat, lens, p2, seed=1, workdir=wd)
+    assert ckpt.latest_stage(wd) == "04contigs"
+    canon = {canonical_contig(s) for _, s in out}
+    best = max(canon, key=len)
+    import oracle
+    assert best in genome or oracle.revcomp(best) in genome
