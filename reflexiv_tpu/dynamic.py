@@ -454,15 +454,24 @@ def run_dyn_extension(
     max_rounds: Optional[int] = None,
 ) -> DynRecords:
     """Iterate mixed-k rounds to fixpoint (cf. FirstFour + Iteration batches,
-    ``Pipelines.java:856-952``)."""
+    ``Pipelines.java:856-952``).
+
+    Runs on the 2-bit packed representation (:mod:`reflexiv_tpu.packed_dyn`)
+    — 4x less HBM traffic per round than byte records; converts at the
+    boundaries only.
+    """
+    from . import packed_dyn as pd
+
     max_rounds = max_rounds or params.max_iterations
+    max_sub = int(jnp.max(jnp.where(recs.live, recs.subk, 1)))
+    p = pd.from_dyn(recs)
     stable = 0
-    prev = int(jnp.sum(recs.live))
-    need = int(jnp.max(jnp.where(recs.live, recs.length, 0))) * 2
+    prev = int(jnp.sum(p.live))
+    need = int(jnp.max(jnp.where(p.live, p.length, 0))) * 2
     for it in range(1, max_rounds + 1):
-        recs = _compact_grow(recs, prev, need)
-        recs, live_n, need_arr = dyn_extension_round_fused(
-            recs, jnp.uint32(seed + it), kmin=kmin, kmax=kmax,
+        p = pd.compact_grow_pdyn(p, prev, need)
+        p, live_n, need_arr = pd.pdyn_extension_round_fused(
+            p, jnp.uint32(seed + it), kmin=kmin, max_sub=max_sub,
             unique_only=unique_only,
         )
         n = int(live_n)
@@ -473,7 +482,7 @@ def run_dyn_extension(
             stable, prev = 0, n
         if it >= params.min_iterations and stable >= 12:
             break
-    return recs
+    return pd.to_dyn(p)
 
 
 # ---------------------------------------------------------------------------

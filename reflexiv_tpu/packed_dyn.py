@@ -1,0 +1,247 @@
+"""2-bit packed mixed-k records: the production representation for ``meta``.
+
+The byte-per-base :class:`reflexiv_tpu.dynamic.DynRecords` round moves 4x
+more HBM traffic than necessary and compares prefixes base-by-base. This
+module stores the mixed-k pool as uint32 limbs (16 bases per limb,
+left-aligned, zero past ``2*length`` — the :mod:`reflexiv_tpu.packed`
+invariant) and re-expresses the dynamic extension round
+(``ReflexivDSDynamicKmerIteration``, ``DSExtendReflexivKmerToArrayLoop``
+``:465`` with ``dynamicSubKmerComparator`` ``:740-768``) in limb space:
+
+  * group keys are a fixed-width (kmin-1)-base funnel-shift window at the
+    marker end (one gather + shift per limb);
+  * the variable-length prefix comparison (reflected sub-kmer must prefix
+    the forward sub-kmer) is a masked limb XOR — 2 uint32 ops per 16 bases
+    instead of 16 byte compares;
+  * the merge concatenation is :func:`reflexiv_tpu.packed.concat`.
+
+Semantics are identical to :func:`reflexiv_tpu.dynamic
+.dyn_extension_round_with_markers` (tested row-for-row against it); only
+the sequence representation differs.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .bitpack import mix32
+from .join_core import first_per_segment, merge_gate
+from .packed import (
+    BASES_PER_LIMB,
+    concat,
+    extract_window,
+    limbs_for,
+    pack_seq_matrix,
+    unpack_seq_matrix,
+)
+
+
+class PackedDynRecords(NamedTuple):
+    seq: jnp.ndarray     # (N, LW) uint32, left-aligned 2-bit bases
+    length: jnp.ndarray  # (N,) int32
+    subk: jnp.ndarray    # (N,) int32 — sub-kmer (join overlap) length
+    left: jnp.ndarray    # (N,) int32
+    right: jnp.ndarray   # (N,) int32
+    live: jnp.ndarray    # (N,) bool
+
+    @property
+    def capacity(self) -> int:
+        return self.seq.shape[0]
+
+    @property
+    def limb_capacity(self) -> int:
+        return self.seq.shape[1]
+
+    @property
+    def base_capacity(self) -> int:
+        return self.seq.shape[1] * BASES_PER_LIMB
+
+
+def from_dyn(d) -> PackedDynRecords:
+    """Byte DynRecords -> packed (zeroing bases beyond each row's length)."""
+    col = jnp.arange(d.seq.shape[1], dtype=jnp.int32)[None, :]
+    clean = jnp.where(col < d.length[:, None], d.seq, 0)
+    return PackedDynRecords(
+        pack_seq_matrix(clean), d.length, d.subk, d.left, d.right, d.live
+    )
+
+
+def to_dyn(p: PackedDynRecords):
+    from .dynamic import DynRecords
+
+    return DynRecords(
+        unpack_seq_matrix(p.seq, p.base_capacity),
+        p.length, p.subk, p.left, p.right, p.live,
+    )
+
+
+def masked_prefix_eq(
+    a: jnp.ndarray, b: jnp.ndarray, nbases: jnp.ndarray
+) -> jnp.ndarray:
+    """Rows of two left-aligned packed windows equal on their first
+    ``nbases`` bases: per-limb masked XOR."""
+    W = a.shape[1]
+    m = jnp.arange(W, dtype=jnp.int32)[None, :]
+    bits = jnp.clip(2 * (nbases[:, None] - BASES_PER_LIMB * m), 0, 32)
+    sh = jnp.clip(32 - bits, 0, 31).astype(jnp.uint32)
+    mask = jnp.where(
+        bits >= 32,
+        jnp.uint32(0xFFFFFFFF),
+        jnp.where(bits > 0, jnp.uint32(0xFFFFFFFF) << sh, jnp.uint32(0)),
+    )
+    return jnp.all(((a ^ b) & mask) == 0, axis=1)
+
+
+def draw_markers_pdyn(p: PackedDynRecords, round_seed) -> jnp.ndarray:
+    """Same draw as :func:`reflexiv_tpu.dynamic._draw_markers_dyn` (hash of
+    first/last 16 bases + length + salt); bit-identical for pools holding
+    >= 16 base columns (always true for the meta klist)."""
+    n16 = min(16, p.base_capacity)
+    head = extract_window(p.seq, jnp.zeros_like(p.length), n16)[:, 0]
+    tail = extract_window(p.seq, jnp.maximum(p.length - n16, 0), n16)[:, 0]
+    if n16 < BASES_PER_LIMB:
+        head = head >> (32 - 2 * n16)
+        tail = tail >> (32 - 2 * n16)
+    salt = jnp.asarray(round_seed).astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+    h = mix32(
+        head ^ ((tail << 16) | (tail >> 16))
+        ^ p.length.astype(jnp.uint32) ^ salt
+    )
+    return jnp.where(p.live, 1 + (h & 1).astype(jnp.int32), 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kmin", "max_sub", "unique_only")
+)
+def pdyn_extension_round_with_markers(
+    p: PackedDynRecords,
+    marker: jnp.ndarray,
+    *,
+    kmin: int,
+    max_sub: int,
+    unique_only: bool = False,
+) -> PackedDynRecords:
+    """One mixed-k sort -> join round in limb space.
+
+    ``max_sub`` is a static bound on every live row's ``subk`` (the largest
+    k in the list minus one); it sizes the prefix-comparison window.
+    """
+    N, LW = p.seq.shape
+    gw = kmin - 1  # group key width
+
+    key_start = jnp.where(marker == 1, 0, p.length - p.subk)
+    keys = extract_window(p.seq, jnp.maximum(key_start, 0), gw)
+    keys = jnp.where(p.live[:, None], keys, jnp.uint32(0xFFFFFFFF))
+    Wp = keys.shape[1]
+    order = jnp.lexsort(tuple(keys[:, i] for i in range(Wp - 1, -1, -1)))
+    skey = keys[order]
+    prev = jnp.roll(skey, 1, axis=0)
+    is_start = jnp.any(skey != prev, axis=1)
+    is_start = is_start.at[0].set(True)
+    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+
+    sseq = p.seq[order]
+    slen = p.length[order]
+    ssub = p.subk[order]
+    sleft = p.left[order]
+    sright = p.right[order]
+    slive = p.live[order]
+    smarker = marker[order]
+
+    idx = jnp.arange(N, dtype=jnp.int32)
+    fwd_first = first_per_segment(seg, slive & (smarker == 1), N)
+    refl_first = first_per_segment(seg, slive & (smarker == 2), N)
+    has_pair = (fwd_first < N) & (refl_first < N)
+    if unique_only:
+        n_fwd = jax.ops.segment_sum(
+            (slive & (smarker == 1)).astype(jnp.int32), seg, num_segments=N
+        )[seg]
+        n_refl = jax.ops.segment_sum(
+            (slive & (smarker == 2)).astype(jnp.int32), seg, num_segments=N
+        )[seg]
+        has_pair = has_pair & (n_fwd == 1) & (n_refl == 1)
+
+    f = jnp.minimum(fwd_first, N - 1)
+    r = jnp.minimum(refl_first, N - 1)
+    f_len, f_sub, f_left, f_right = slen[f], ssub[f], sleft[f], sright[f]
+    r_len, r_sub, r_left, r_right = slen[r], ssub[r], sleft[r], sright[r]
+    f_ext = f_len - f_sub
+    r_ext = r_len - r_sub
+    extra = f_sub - r_sub
+
+    # dynamicSubKmerComparator: refl sub-kmer must prefix the fwd sub-kmer
+    SW = limbs_for(max_sub)
+    f_head = sseq[f][:, :SW]
+    r_tail = extract_window(sseq[r], jnp.maximum(r_len - r_sub, 0), max_sub)
+    prefix_ok = masked_prefix_eq(f_head, r_tail, r_sub) & (r_sub <= f_sub)
+
+    gate = merge_gate(
+        f_left, f_right, r_left, r_right, f_ext, r_ext, extra=extra
+    )
+    merge = has_pair & prefix_ok & gate.merge
+
+    merged_seq, new_len = concat(
+        sseq[r], r_len, sseq[f], f_len, r_sub, LW
+    )
+
+    i_am_fwd = merge & (idx == fwd_first)
+    i_am_refl = merge & (idx == refl_first)
+
+    out_seq = jnp.where(i_am_fwd[:, None], merged_seq, sseq)
+    out_len = jnp.where(i_am_fwd, new_len, slen)
+    out_sub = jnp.where(i_am_fwd, f_sub, ssub)
+    out_left = jnp.where(i_am_fwd, gate.new_left, sleft)
+    out_right = jnp.where(i_am_fwd, gate.new_right, sright)
+    out_live = slive & ~i_am_refl
+    return PackedDynRecords(
+        out_seq, out_len, out_sub, out_left, out_right, out_live
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kmin", "max_sub", "unique_only")
+)
+def pdyn_extension_round_fused(
+    p: PackedDynRecords, round_seed: jnp.ndarray, *,
+    kmin: int, max_sub: int, unique_only: bool = False,
+):
+    """Round + loop statistics in one compiled program (cf.
+    ``dynamic.dyn_extension_round_fused``)."""
+    marker = draw_markers_pdyn(p, round_seed)
+    out = pdyn_extension_round_with_markers(
+        p, marker, kmin=kmin, max_sub=max_sub, unique_only=unique_only
+    )
+    live_n = jnp.sum(out.live)
+    lens = jnp.where(out.live, out.length, 0)
+    top2 = jax.lax.top_k(lens, 2)[0]
+    need = top2[0] + top2[1]
+    return out, live_n, need
+
+
+def compact_grow_pdyn(
+    p: PackedDynRecords, live_n: int, need_bases: int
+) -> PackedDynRecords:
+    """Host-side capacity management between rounds (quantized like
+    ``dynamic._compact_grow``: compact at quarter occupancy, grow limbs in
+    power-of-two jumps)."""
+    from .records import next_pow2
+
+    need_limbs = limbs_for(need_bases)
+    cap_limbs = max(next_pow2(need_limbs), p.limb_capacity)
+    cap_rows = p.capacity
+    if live_n <= cap_rows // 4 and cap_rows > 64:
+        cap_rows = max(next_pow2(live_n), 16)
+    if cap_rows == p.capacity and cap_limbs == p.limb_capacity:
+        return p
+    order = jnp.argsort(~p.live, stable=True)
+    take = order[:cap_rows]
+    seq = p.seq[take]
+    if cap_limbs > seq.shape[1]:
+        seq = jnp.pad(seq, ((0, 0), (0, cap_limbs - seq.shape[1])))
+    return PackedDynRecords(
+        seq, p.length[take], p.subk[take],
+        p.left[take], p.right[take], p.live[take],
+    )

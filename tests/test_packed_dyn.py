@@ -1,0 +1,117 @@
+"""Packed mixed-k rounds must match the byte-per-base rounds row-for-row."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reflexiv_tpu import packed_dyn as pd
+from reflexiv_tpu.dynamic import (
+    DynRecords,
+    _draw_markers_dyn,
+    dyn_extension_round_with_markers,
+)
+
+
+def random_pool(rng, n, klist, cap_len):
+    """A random mixed-k pool: each row is a k-class record extended by a
+    random amount, zero-padded past its length."""
+    ks = rng.choice(klist, size=n)
+    ext = rng.integers(1, 8, size=n)
+    length = (ks + ext).astype(np.int32)
+    seq = np.zeros((n, cap_len), np.uint8)
+    for i in range(n):
+        seq[i, : length[i]] = rng.integers(0, 4, size=length[i])
+    subk = (ks - 1).astype(np.int32)
+    left = rng.integers(-5, 5, size=n).astype(np.int32)
+    right = rng.integers(-5, 5, size=n).astype(np.int32)
+    live = rng.random(n) > 0.1
+    return DynRecords(
+        jnp.asarray(seq), jnp.asarray(length), jnp.asarray(subk),
+        jnp.asarray(left), jnp.asarray(right), jnp.asarray(live),
+    )
+
+
+def canon_rows(d: DynRecords):
+    """Canonical (order-independent) multiset of live rows."""
+    seq = np.asarray(d.seq)
+    length = np.asarray(d.length)
+    rows = []
+    for i in np.nonzero(np.asarray(d.live))[0]:
+        rows.append((
+            bytes(seq[i, : length[i]]),
+            int(d.subk[i]), int(d.left[i]), int(d.right[i]),
+        ))
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("unique_only", [False, True])
+def test_round_equivalence(seed, unique_only):
+    rng = np.random.default_rng(seed)
+    klist = [5, 7, 9]
+    byte = random_pool(rng, 96, klist, cap_len=48)
+    # duplicate a few rows so groups actually form
+    dup = rng.integers(0, 96, size=24)
+    seq = np.asarray(byte.seq).copy()
+    seq[dup // 2] = seq[dup]
+    byte = byte._replace(
+        seq=jnp.asarray(seq),
+        length=jnp.asarray(np.asarray(byte.length)).at[dup // 2].set(
+            byte.length[dup]),
+        subk=jnp.asarray(np.asarray(byte.subk)).at[dup // 2].set(
+            byte.subk[dup]),
+    )
+    marker = _draw_markers_dyn(byte, 7)
+
+    out_byte = dyn_extension_round_with_markers(
+        byte, marker, kmin=min(klist), unique_only=unique_only
+    )
+    packed = pd.from_dyn(byte)
+    out_packed = pd.pdyn_extension_round_with_markers(
+        packed, marker, kmin=min(klist), max_sub=max(klist) - 1,
+        unique_only=unique_only,
+    )
+    assert canon_rows(out_byte) == canon_rows(pd.to_dyn(out_packed))
+
+
+def test_marker_draw_matches_byte():
+    rng = np.random.default_rng(11)
+    byte = random_pool(rng, 64, [17, 21], cap_len=64)
+    m_byte = np.asarray(_draw_markers_dyn(byte, 3))
+    m_packed = np.asarray(pd.draw_markers_pdyn(pd.from_dyn(byte), 3))
+    np.testing.assert_array_equal(m_byte, m_packed)
+
+
+def test_masked_prefix_eq():
+    rng = np.random.default_rng(5)
+    n, W = 128, 3
+    a = rng.integers(0, 2**32, size=(n, W), dtype=np.uint32)
+    b = a.copy()
+    nb = rng.integers(0, W * 16 + 1, size=n).astype(np.int32)
+    # flip one base exactly at position nb (first base NOT compared)
+    for i in range(n):
+        pos = int(nb[i])
+        if pos >= W * 16:
+            continue
+        limb, off = divmod(pos, 16)
+        b[i, limb] ^= np.uint32(1) << (30 - 2 * off)
+    eq = np.asarray(pd.masked_prefix_eq(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(nb)))
+    assert eq.all()
+    # flipping a base inside the compared prefix breaks equality
+    for i in range(n):
+        if nb[i] == 0:
+            continue
+        pos = int(nb[i]) - 1
+        limb, off = divmod(pos, 16)
+        b[i, limb] ^= np.uint32(1) << (30 - 2 * off)
+    eq2 = np.asarray(pd.masked_prefix_eq(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(nb)))
+    assert (~eq2[nb > 0]).all()
+    assert eq2[nb == 0].all()
+
+
+def test_roundtrip_conversion():
+    rng = np.random.default_rng(9)
+    byte = random_pool(rng, 32, [9, 13], cap_len=40)
+    back = pd.to_dyn(pd.from_dyn(byte))
+    assert canon_rows(byte) == canon_rows(back)
