@@ -105,16 +105,7 @@ def _run_extension_loop_packed(
             fin = _np.asarray(pk.finished_mask_packed(p, k))
             n_fin = int(fin.sum())
             if n_fin > max(32, p.capacity // 8):
-                seq_h = _np.asarray(p.seq)
-                len_h = _np.asarray(p.length)
-                left_h = _np.asarray(p.left)
-                right_h = _np.asarray(p.right)
-                for i in _np.nonzero(fin)[0]:
-                    parked.append((
-                        seq_h[i, : pk.limbs_for(len_h[i])].copy(),
-                        int(len_h[i]), int(left_h[i]), int(right_h[i]),
-                    ))
-                p = p._replace(live=p.live & ~jnp.asarray(fin))
+                p = pk.park_finished_rows(p, fin, parked)
                 n -= n_fin
                 prev_count = n
         cap = p.capacity
@@ -122,34 +113,7 @@ def _run_extension_loop_packed(
             p = pk.compact_packed(p, max(next_pow2(n), 16))
 
     if parked:
-        live = _np.asarray(p.live)
-        idx = _np.nonzero(live)[0]
-        n_active = len(idx)
-        total = n_active + len(parked)
-        max_limbs = max(
-            [p.limb_capacity] + [s.shape[0] for s, _, _, _ in parked]
-        )
-        cap = max(next_pow2(total), 16)
-        seq = _np.zeros((cap, max_limbs), _np.uint32)
-        length = _np.zeros(cap, _np.int32)
-        left = _np.zeros(cap, _np.int32)
-        right = _np.zeros(cap, _np.int32)
-        new_live = _np.zeros(cap, bool)
-        seq[:n_active, : p.limb_capacity] = _np.asarray(p.seq)[idx]
-        length[:n_active] = _np.asarray(p.length)[idx]
-        left[:n_active] = _np.asarray(p.left)[idx]
-        right[:n_active] = _np.asarray(p.right)[idx]
-        new_live[:n_active] = True
-        for j, (s, l, lft, rgt) in enumerate(parked):
-            i = n_active + j
-            seq[i, : len(s)] = s
-            length[i] = l
-            left[i], right[i] = lft, rgt
-            new_live[i] = True
-        p = pk.PackedRecords(
-            jnp.asarray(seq), jnp.asarray(length), jnp.asarray(left),
-            jnp.asarray(right), jnp.asarray(new_live),
-        )
+        p = pk.merge_parked_packed(p, parked)
     return pk.to_records(p)
 
 

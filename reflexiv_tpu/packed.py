@@ -226,6 +226,54 @@ def compact_packed(p: PackedRecords, new_cap: int) -> PackedRecords:
     )
 
 
+def merge_parked_packed(p: PackedRecords, parked: list) -> PackedRecords:
+    """Re-combine parked finished rows ``(limbs, length, left, right)`` with
+    the active set into a fresh host-built pool."""
+    live = np.asarray(p.live)
+    idx = np.nonzero(live)[0]
+    n_active = len(idx)
+    total = n_active + len(parked)
+    max_limbs = max([p.limb_capacity] + [s.shape[0] for s, _, _, _ in parked])
+    cap = 16
+    while cap < total:
+        cap <<= 1
+    seq = np.zeros((cap, max_limbs), np.uint32)
+    length = np.zeros(cap, np.int32)
+    left = np.zeros(cap, np.int32)
+    right = np.zeros(cap, np.int32)
+    new_live = np.zeros(cap, bool)
+    seq[:n_active, : p.limb_capacity] = np.asarray(p.seq)[idx]
+    length[:n_active] = np.asarray(p.length)[idx]
+    left[:n_active] = np.asarray(p.left)[idx]
+    right[:n_active] = np.asarray(p.right)[idx]
+    new_live[:n_active] = True
+    for j, (s, l, lft, rgt) in enumerate(parked):
+        i = n_active + j
+        seq[i, : len(s)] = s
+        length[i] = l
+        left[i], right[i] = lft, rgt
+        new_live[i] = True
+    return PackedRecords(
+        jnp.asarray(seq), jnp.asarray(length), jnp.asarray(left),
+        jnp.asarray(right), jnp.asarray(new_live),
+    )
+
+
+def park_finished_rows(p: PackedRecords, fin: np.ndarray, parked: list):
+    """Move rows flagged by ``fin`` (host bool mask) out of the active pool
+    into the ``parked`` list; returns the updated pool."""
+    seq_h = np.asarray(p.seq)
+    len_h = np.asarray(p.length)
+    left_h = np.asarray(p.left)
+    right_h = np.asarray(p.right)
+    for i in np.nonzero(fin)[0]:
+        parked.append((
+            seq_h[i, : limbs_for(len_h[i])].copy(),
+            int(len_h[i]), int(left_h[i]), int(right_h[i]),
+        ))
+    return p._replace(live=p.live & ~jnp.asarray(fin))
+
+
 def grow_packed(p: PackedRecords, new_bases: int) -> PackedRecords:
     lw = limbs_for(new_bases)
     pad = lw - p.limb_capacity

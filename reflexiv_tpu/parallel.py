@@ -248,6 +248,106 @@ def extension_round_sharded(
     return Records(out_seq, out_len, out_left, out_right, out_live), overflow
 
 
+@functools.partial(jax.jit, static_argnames=("k", "mesh", "cap_factor"))
+def finished_mask_sharded(
+    p,  # packed.PackedRecords, arrays sharded over leading axis
+    *,
+    k: int,
+    mesh: Mesh,
+    cap_factor: int = 4,
+):
+    """Sharded extendability prefilter (cf. ``extend.finished_mask``).
+
+    Each live record emits two key messages (its head and tail (k-1)-mer);
+    messages hash-route to owner shards, the owner counts heads/tails per
+    distinct key, and verdicts ride a reverse ``all_to_all`` back in the same
+    bucket slots. A record is finished when neither endpoint has a potential
+    partner anywhere on the mesh. Conservative under bucket overflow: an
+    undeliverable message counts as "partnered", so its record is never
+    parked.
+    """
+    from . import packed as pk
+
+    n = mesh.devices.size
+
+    def local(seq, length, left, right, live):
+        rec = pk.PackedRecords(seq, length, left, right, live)
+        M = seq.shape[0]
+        ones = jnp.ones(M, dtype=jnp.int32)
+        head = pk.derive_keys_packed(rec, ones, k)
+        tail = pk.derive_keys_packed(rec, 2 * ones, k)
+        keys = jnp.concatenate([head, tail], axis=0)          # (2M, W)
+        side = jnp.concatenate(
+            [jnp.zeros(M, jnp.int32), jnp.ones(M, jnp.int32)]
+        )
+        live2 = jnp.concatenate([live, live])
+        W = keys.shape[1]
+        h = mix32(keys[:, 0] ^ jnp.uint32(0xC2B2AE35))
+        for i in range(1, W):
+            h = mix32(h ^ keys[:, i])
+        owner = (h % jnp.uint32(n)).astype(jnp.int32)
+        cap = max(1, cap_factor * 2 * M // n)
+        order, slot, ok, _overflow = _bucketize(owner, live2, n, cap)
+        dest = jnp.where(ok, owner[order], n)
+
+        def route(x):
+            xs = x[order]
+            buf = jnp.zeros((n, cap) + x.shape[1:], dtype=x.dtype)
+            buf = buf.at[dest, slot].set(xs, mode="drop")
+            out = jax.lax.all_to_all(
+                buf, "shards", split_axis=0, concat_axis=0, tiled=True
+            )
+            return out.reshape((n * cap,) + x.shape[1:])
+
+        k_r = route(keys)
+        s_r = route(side)
+        vbuf = jnp.zeros((n, cap), dtype=bool).at[dest, slot].set(
+            ok, mode="drop")
+        v_r = jax.lax.all_to_all(
+            vbuf, "shards", split_axis=0, concat_axis=0, tiled=True
+        ).reshape(n * cap)
+
+        # owner side: count head/tail messages per distinct key
+        NN = n * cap
+        keyed = jnp.where(v_r[:, None], k_r, jnp.uint32(0xFFFFFFFF))
+        order2 = jnp.lexsort(
+            tuple(keyed[:, i] for i in range(W - 1, -1, -1)))
+        skey = keyed[order2]
+        sside = s_r[order2]
+        sval = v_r[order2]
+        prev = jnp.roll(skey, 1, axis=0)
+        is_start = jnp.any(skey != prev, axis=1).at[0].set(True)
+        seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+        n_heads = jax.ops.segment_sum(
+            jnp.where(sval & (sside == 0), 1, 0), seg, num_segments=NN
+        )[seg]
+        n_tails = jax.ops.segment_sum(
+            jnp.where(sval & (sside == 1), 1, 0), seg, num_segments=NN
+        )[seg]
+        partnered_sorted = jnp.where(sside == 0, n_tails > 0, n_heads > 0)
+        partnered = jnp.zeros(NN, dtype=bool).at[order2].set(partnered_sorted)
+
+        # reverse exchange: verdicts return to source shards in-slot
+        p_back = jax.lax.all_to_all(
+            partnered.reshape(n, cap), "shards",
+            split_axis=0, concat_axis=0, tiled=True,
+        )
+        msg_partnered = jnp.where(
+            ok, p_back[jnp.minimum(dest, n - 1), slot], True
+        )
+        per_msg = jnp.zeros(2 * M, dtype=bool).at[order].set(msg_partnered)
+        finished = live & ~per_msg[:M] & ~per_msg[M:]
+        return (finished,)
+
+    (finished,) = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("shards"),) * 5,
+        out_specs=(P("shards"),),
+    )(*p)
+    return finished
+
+
 # ---------------------------------------------------------------------------
 # end-to-end sharded assembly driver
 # ---------------------------------------------------------------------------
@@ -325,6 +425,7 @@ def assemble_reads_sharded(
     p = pk.from_records(recs)
     prev = n_live
     stable = 0
+    parked: list = []
     for it in range(1, params.max_iterations + 1):
         lens_live = jnp.where(p.live, p.length, 0)
         top2 = jax.lax.top_k(lens_live, 2)[0]
@@ -343,4 +444,17 @@ def assemble_reads_sharded(
             stable, prev = 0, live_n
         if it >= params.min_iterations and stable >= 12:
             break
+        # park finished records off the per-round exchange volume (the
+        # extendability prefilter of ReflexivDSKmerProcessing64, here as a
+        # mesh-wide head/tail partner census)
+        if it % 8 == 0 and it >= 8:
+            fin = np_.asarray(finished_mask_sharded(
+                p, k=params.k, mesh=mesh, cap_factor=cap_factor))
+            n_fin = int(fin.sum())
+            if n_fin > max(32, p.capacity // 8):
+                p = pk.park_finished_rows(p, fin, parked)
+                prev = live_n - n_fin
+
+    if parked:
+        p = pk.merge_parked_packed(p, parked)
     return emit_contigs(pk.to_records(p), min_contig=params.min_contig)

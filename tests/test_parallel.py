@@ -114,3 +114,47 @@ def test_sharded_full_assembly_matches_golden_properties(mesh):
     canon_single = {canonical_contig(s) for _, s in single}
     canon_sharded = {canonical_contig(s) for _, s in sharded}
     assert canon_sharded == canon_single
+
+
+def test_finished_mask_sharded_matches_single_chip(mesh):
+    import random
+    rng = random.Random(23)
+    k = 15
+    from reflexiv_tpu import packed as pk
+    from reflexiv_tpu.assembler import initial_records_from_counts
+    from reflexiv_tpu.count import count_kmers
+    from reflexiv_tpu.params import Params
+    from reflexiv_tpu.parallel import _pad_rows, finished_mask_sharded
+
+    genome, reads = _reads(rng, genome_len=400, n_reads=120, read_len=40)
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    params = Params(k=k, min_kmer_coverage=2)
+    limbs, counts = count_kmers(mat, lens, k=k, min_cov=2)
+    recs, n_live = initial_records_from_counts(limbs, counts, params)
+    n = mesh.devices.size
+    cap = ((max(n_live * 2, n) + n - 1) // n) * n
+    recs = _pad_rows(recs, cap, 64)
+    p = pk.from_records(recs)
+
+    want = np.asarray(pk.finished_mask_packed(p, k))
+    got = np.asarray(finished_mask_sharded(p, k=k, mesh=mesh))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_parking_preserves_assembly(mesh):
+    """Forcing frequent parking must not change the assembled contigs."""
+    import random
+    rng = random.Random(31)
+    from reflexiv_tpu.params import Params
+
+    genome, reads = _reads(rng, genome_len=700, n_reads=300, read_len=60)
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    params = Params(k=21, min_kmer_coverage=2, min_contig=200,
+                    min_iterations=15)
+    got = parallel.assemble_reads_sharded(
+        mat, lens, params, mesh=mesh, seed=0)
+    seqs = sorted(oracle.canonical(s) for _, s in got)
+    from reflexiv_tpu.assembler import assemble_reads
+    want = sorted(oracle.canonical(s) for _, s in assemble_reads(
+        mat, lens, params, seed=0))
+    assert seqs == want
