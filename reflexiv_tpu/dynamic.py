@@ -727,13 +727,11 @@ def assemble_dynamic(
 
         # contig-end read-consensus extension (the 07EndExtend stage;
         # replaces the reference's minimap2 pipe,
-        # ReflexivDSDynamicKmerMapping)
-        from .mapping import end_extend
+        # ReflexivDSDynamicKmerMapping) — evidence read straight from the
+        # code matrix, no per-read string materialization
+        from .mapping import end_extend_arrays
 
-        read_strs = [
-            decode_to_str(bases[i, : lengths[i]]) for i in range(len(lengths))
-        ]
-        raw = end_extend(raw, read_strs)
+        raw = end_extend_arrays(raw, bases, lengths)
         deduped = dedup_contigs(raw)
         if workdir:
             ckpt.save_contigs(workdir, "04contigs", deduped)
