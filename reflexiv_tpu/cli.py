@@ -100,6 +100,7 @@ def params_from_args(args: argparse.Namespace) -> Params:
         gzip_output=args.gzip,
         partitions=args.partition,
         sensitive=args.accurate,
+        interleaved=bool(args.inter),
     )
 
 

@@ -766,12 +766,19 @@ def dynamic_reduction(params: Params, *, seed: int = 0) -> None:
         if not has_success_marker(cdir):
             write_count_table(cdir, limbs, counts, k)
         sorted_sets[k] = sort_k_records(limbs, counts, k, params)
+        _write_sorted_set(os.path.join(out, f"Count_{k}_sorted"),
+                          sorted_sets[k], k)
     for k1, k2 in zip(klist, klist[1:]):
         shorts, longs = reduce_k_pair(sorted_sets[k1], sorted_sets[k2], k1, k2)
         sorted_sets[k1] = shorts
         sorted_sets[k2] = longs
         _write_sorted_set(os.path.join(out, f"Count_{k1}_reduced"),
                           shorts, k1)
+        # the adjusted longer-k set replaces its _sorted table mid-ladder,
+        # exactly like ReflexivDSDynamicKmerRuduction's k2 rewrite
+        # (Pipelines.java:257-283 / Ruduction.java:244-283)
+        _write_sorted_set(os.path.join(out, f"Count_{k2}_sorted"),
+                          longs, k2)
     _write_sorted_set(os.path.join(out, f"Count_{klist[-1]}_reduced"),
                       sorted_sets[klist[-1]], klist[-1])
     log.info("reduction complete: %s", ", ".join(

@@ -59,6 +59,7 @@ class Params:
     partitions: int = 0               # informational; sharding is mesh-driven
     cache: bool = False
     sensitive: bool = False           # -accurate: enables mercy k-mers
+    interleaved: bool = False         # -inter: consecutive records are mates
 
     @property
     def sub_k(self) -> int:

@@ -171,22 +171,39 @@ def _write_fastq(path: str, reads: List[np.ndarray]) -> None:
 
 def preprocess(params: Params) -> None:
     """CLI driver for ``preprocess``: normalize (+ merge pairs when exactly
-    two inputs are given, like ``-fastq 'pair_1,pair_2'``) and error-correct."""
+    two inputs are given, like ``-fastq 'pair_1,pair_2'``, or when the input
+    is interleaved via ``-inter``) and error-correct.
+
+    Mirrors ``ReflexivDataFrameDecompresser``'s single/paired/interleaved
+    normalization (``Pipelines.java:311-473``): interleaved inputs treat
+    consecutive records as mates (``Read_Interleaved`` path).
+    """
     from .io import (expand_paths, iter_fastq, reads_to_matrix,
                      write_success_marker)
 
     paths = expand_paths(params.input_fastq or params.input_fasta)
     out = params.output_path
-    if len(paths) == 2:  # paired
-        r1 = list(iter_fastq([paths[0]]))
-        r2 = list(iter_fastq([paths[1]]))
-        if len(r1) != len(r2):
+    pair_lists = None
+    if params.interleaved:
+        all_reads = list(iter_fastq(paths))
+        if len(all_reads) % 2:
+            raise SystemExit(
+                "error: interleaved input holds an odd number of records")
+        pair_lists = (all_reads[0::2], all_reads[1::2])
+        merged_dir = "Read_Interleaved_Merged"
+    elif len(paths) == 2:
+        pair_lists = (list(iter_fastq([paths[0]])),
+                      list(iter_fastq([paths[1]])))
+        if len(pair_lists[0]) != len(pair_lists[1]):
             raise SystemExit("error: paired inputs differ in read count")
+        merged_dir = "Read_Paired_Merged"
+    if pair_lists is not None:
+        r1, r2 = pair_lists
         m1, l1 = reads_to_matrix(r1)
         m2, l2 = reads_to_matrix(r2)
         merged, mask = merge_pairs(m1, l1, m2, l2)
         log.info("pair merging: %d/%d pairs merged", int(mask.sum()), len(r1))
-        mdir = os.path.join(out, "Read_Paired_Merged")
+        mdir = os.path.join(out, merged_dir)
         _write_fastq(os.path.join(mdir, "part-00000.fq"), merged)
         write_success_marker(mdir)
         reads = merged

@@ -160,3 +160,61 @@ def test_stitch_bridges_zero_coverage_gap():
     best = max(stitched, key=len)
     assert len(best) >= 600
     assert best in genome or oracle.revcomp(best) in genome
+
+
+def test_preprocess_interleaved(tmp_path):
+    """-inter input: consecutive records are mates; pairs overlap-merge."""
+    import numpy as np
+    from reflexiv_tpu.cli import main as cli_main
+
+    rng = random.Random(21)
+    genome = "".join(rng.choice("ACGT") for _ in range(600))
+    fq = tmp_path / "inter.fq"
+    with open(fq, "w") as fh:
+        n = 0
+        for s in range(0, 440, 10):
+            insert = genome[s: s + 160]
+            r1 = insert[:100]
+            r2 = oracle.revcomp(insert[60:160])  # 40 bp overlap
+            for r in (r1, r2):
+                fh.write(f"@pair{n}\n{r}\n+\n{'I'*len(r)}\n")
+                n += 1
+    out = tmp_path / "out"
+    rc = cli_main([
+        "preprocess", "-inter", str(fq), "-outfile", str(out), "-kmer", "21",
+    ])
+    assert rc == 0
+    mdir = out / "Read_Interleaved_Merged"
+    assert (mdir / "_SUCCESS").exists()
+    merged = [l.strip() for l in open(mdir / "part-00000.fq")][1::4]
+    # every pair overlaps by 40bp -> one 160bp merged read per pair
+    assert all(len(m) == 160 for m in merged)
+    assert len(merged) == 44
+    assert merged[0] == genome[0:160]
+
+
+def test_reduce_emits_sorted_and_reduced_tables(tmp_path):
+    from reflexiv_tpu.cli import main as cli_main
+
+    rng = random.Random(33)
+    genome = "".join(rng.choice("ACGT") for _ in range(500))
+    reads = _sim_reads(rng, genome, 200, 60, rc=True)
+    fq = tmp_path / "reads.fq"
+    with open(fq, "w") as fh:
+        for i, r in enumerate(reads):
+            fh.write(f"@r{i}\n{r}\n+\n{'I'*len(r)}\n")
+    out = tmp_path / "out"
+    rc = cli_main([
+        "reduce", "-fastq", str(fq), "-outfile", str(out),
+        "-klist", "21,31,41", "-cover", "2",
+    ])
+    assert rc == 0
+    for k in (21, 31, 41):
+        assert (out / f"Count_{k}" / "_SUCCESS").exists()
+        assert (out / f"Count_{k}_sorted" / "_SUCCESS").exists()
+    for k in (21, 31, 41):
+        assert (out / f"Count_{k}_reduced" / "_SUCCESS").exists()
+    # the tables round-trip through the documented format
+    from reflexiv_tpu.dynamic import read_sorted_set
+    bases, left, right = read_sorted_set(str(out / "Count_21_reduced"), 21)
+    assert bases.shape[1] == 21 and len(bases) == len(left) == len(right)
