@@ -58,7 +58,7 @@ def bench_counting_subprocess(timeout_s: int = 900):
 def bench_counting(tile: int = 64, iters: int = 3):
     import jax
     import jax.numpy as jnp
-    from reflexiv_tpu.count import extract_canonical_kmers, sort_count_filter
+    from reflexiv_tpu.count import count_pass_fused
     from reflexiv_tpu.io import load_reads
 
     mat, lens = load_reads(EXAMPLE)
@@ -72,8 +72,8 @@ def bench_counting(tile: int = 64, iters: int = 3):
     lengths = jnp.asarray(lens)
 
     def run_to_completion():
-        limbs, valid = extract_canonical_kmers(bases, lengths, k=k)
-        out = sort_count_filter(limbs, valid, min_cov=3, max_cov=10_000_000)
+        out = count_pass_fused(
+            bases, lengths, k=k, min_cov=3, max_cov=10_000_000)
         # force completion with a host fetch: block_until_ready is a no-op on
         # the experimental axon platform
         np.asarray(out[1][:8])

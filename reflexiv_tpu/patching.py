@@ -5,7 +5,19 @@ read pairs whose mates land on the end regions of two different contigs vote
 for a connection (``ReadAndContigPairs:2146`` -> ``CreatCCPairs:1958`` ->
 ``CCPairsToConnections:1801``); sufficiently supported, unique connections
 are then joined. The reference ships this stage disabled
-(``Pipelines.java:1203-1229``); here it is available as an explicit API.
+(``Pipelines.java:1203-1229``); here it is available as an explicit API and
+strengthens the link model:
+
+  * **orientation-aware links**: mate mapping tracks the strand of every
+    seed hit, so a pair only votes for the junction its fragment actually
+    implies (r1 points off its contig end, the mate points into the other
+    contig's entry end) — strand-inconsistent pairs are rejected instead of
+    miscounted;
+  * **insert-size model**: the insert length distribution is estimated from
+    pairs landing within a single contig (median + MAD); each cross-contig
+    pair then implies a gap estimate ``insert - d1 - d2``, links whose
+    median gap is implausible are dropped, and the surviving link table
+    reports the estimated gap.
 
 Joins are sequence-level: a supported connection is executed only when the
 two end regions share an exact overlap (>= ``min_overlap``); otherwise the
@@ -14,8 +26,9 @@ link is reported but not forced (2-bit sequences cannot carry N-gaps).
 from __future__ import annotations
 
 import logging
+import statistics
 from collections import Counter, defaultdict
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 from .contigs import revcomp_str
 
@@ -25,24 +38,33 @@ END_WINDOW = 300     # bases of each contig end indexed for mate mapping
 SEED_K = 31
 MIN_LINKS = 2        # read pairs required to support a connection
 MIN_OVERLAP = 10     # exact end overlap required to execute a join
+DEFAULT_INSERT = 2 * END_WINDOW   # prior when no same-contig pairs exist
 
 
-def _end_index(contigs: List[str], k: int = SEED_K) -> Dict[str, Tuple[int, int]]:
-    """k-mer -> (contig, end) where end 0 = head region, 1 = tail region.
-    Ambiguous k-mers (several ends) are dropped."""
-    idx: Dict[str, Tuple[int, int]] = {}
+def _end_index(
+    contigs: List[str], k: int = SEED_K
+) -> Dict[str, Tuple[int, int, int, int]]:
+    """k-mer -> (contig, end, pos, strand); end 0 = head region, 1 = tail.
+
+    ``pos`` is the k-mer start in contig coordinates; ``strand`` 0 means the
+    key equals the contig substring, 1 means it equals its reverse
+    complement. Ambiguous k-mers (several placements) are dropped.
+    """
+    idx: Dict[str, Tuple[int, int, int, int]] = {}
     dup = set()
     for ci, s in enumerate(contigs):
         w = min(END_WINDOW, len(s))
-        regions = ((s[:w], 0), (s[-w:], 1))
-        for region, end in regions:
+        regions = ((0, s[:w], 0), (len(s) - w, s[-w:], 1))
+        for base, region, end in regions:
             for j in range(len(region) - k + 1):
                 km = region[j: j + k]
-                for key in (km, revcomp_str(km)):
-                    tag = (ci, end)
-                    if key in idx and idx[key] != tag:
+                pos = base + j
+                for strand, key in ((0, km), (1, revcomp_str(km))):
+                    tag = (ci, end, pos, strand)
+                    prev = idx.get(key)
+                    if prev is not None and prev[:2] != tag[:2]:
                         dup.add(key)
-                    else:
+                    elif prev is None:
                         idx[key] = tag
     for key in dup:
         idx.pop(key, None)
@@ -50,14 +72,18 @@ def _end_index(contigs: List[str], k: int = SEED_K) -> Dict[str, Tuple[int, int]
 
 
 def _map_read(read: str, idx, k: int = SEED_K):
+    """First seed hit -> (contig, end, read 5' position in contig coords,
+    strand of the read on the contig)."""
     for j in range(0, max(1, len(read) - k + 1), 7):  # strided seeds
         hit = idx.get(read[j: j + k])
         if hit is not None:
-            return hit
+            ci, end, pos, strand = hit
+            pos5 = pos - j if strand == 0 else pos + k - 1 + j
+            return ci, end, pos5, strand
     return None
 
 
-def _try_overlap_join(a: str, b: str, min_overlap: int) -> str | None:
+def _try_overlap_join(a: str, b: str, min_overlap: int) -> Optional[str]:
     """Join a's tail to b's head on the longest exact overlap."""
     max_o = min(len(a), len(b))
     for o in range(max_o, min_overlap - 1, -1):
@@ -66,46 +92,89 @@ def _try_overlap_join(a: str, b: str, min_overlap: int) -> str | None:
     return None
 
 
+def estimate_insert(samples: List[int]) -> Tuple[int, int]:
+    """(median, MAD) of the insert distribution; prior when unobserved."""
+    if len(samples) < 4:
+        return DEFAULT_INSERT, DEFAULT_INSERT // 4
+    med = int(statistics.median(samples))
+    mad = int(statistics.median(abs(x - med) for x in samples)) or med // 10
+    return med, mad
+
+
 def patch_contigs(
     contigs: List[str],
     pairs: List[Tuple[str, str]],
     *,
     min_links: int = MIN_LINKS,
     min_overlap: int = MIN_OVERLAP,
-) -> Tuple[List[str], List[Tuple[int, int, int, int, int]]]:
+) -> Tuple[List[str], List[Tuple[int, int, int, int, int, int]]]:
     """Connect contigs supported by read-pair links.
 
     Returns (contigs after executable joins, link table rows
-    ``(contig_a, end_a, contig_b, end_b, n_links)`` for all supported
-    connections, including those that could not be joined exactly).
+    ``(contig_a, end_a, contig_b, end_b, n_links, gap_estimate)`` for all
+    supported connections, including those that could not be joined
+    exactly). ``gap_estimate`` < 0 means the ends are expected to overlap.
     """
     idx = _end_index(contigs)
     votes: Counter = Counter()
+    gaps: defaultdict = defaultdict(list)
+    inserts: List[int] = []
     for r1, r2 in pairs:
-        h1 = _map_read(r1, idx)
-        h2 = _map_read(revcomp_str(r2), idx)
-        if h1 is None or h2 is None or h1[0] == h2[0]:
+        m1 = _map_read(r1, idx)
+        m2 = _map_read(revcomp_str(r2), idx)
+        if m1 is None or m2 is None:
             continue
-        key = tuple(sorted([h1, h2]))
-        votes[key] += 1
+        c1, _e1, p1, s1 = m1
+        c2, _e2, p2, s2 = m2
+        if c1 == c2:
+            # same-contig pair: an insert-size observation when the mates
+            # agree on strand (fragment lies within one contig)
+            if s1 == s2:
+                ins = (p2 + len(r2) - p1) if s1 == 0 else (p1 - p2 + len(r2))
+                if 0 < ins <= 4 * DEFAULT_INSERT:
+                    inserts.append(ins)
+            continue
+        # fragment leaves c1 in its read direction and enters c2 heading to
+        # the mate: junction ends + covered distances follow from strands
+        end1 = 1 if s1 == 0 else 0
+        d1 = (len(contigs[c1]) - p1) if s1 == 0 else (p1 + 1)
+        end2 = 0 if s2 == 0 else 1
+        d2 = (p2 + len(r2)) if s2 == 0 else (len(contigs[c2]) - p2 + len(r2) - 1)
+        a, b = (c1, end1), (c2, end2)
+        if b < a:
+            a, b = b, a
+        votes[(a, b)] += 1
+        gaps[(a, b)].append((d1, d2))
 
-    supported = [
-        (a, b, n) for (a, b), n in votes.items() if n >= min_links
-    ]
+    ins_med, ins_mad = estimate_insert(inserts)
+    supported = []
+    for (a, b), n in votes.items():
+        if n < min_links:
+            continue
+        gap_samples = sorted(
+            ins_med - d1 - d2 for d1, d2 in gaps[(a, b)]
+        )
+        gap = gap_samples[len(gap_samples) // 2]
+        # implausible geometry: fragment cannot bridge ends further apart
+        # than the insert allows, nor overlap deeper than a whole end window
+        if gap > ins_med + 3 * ins_mad or gap < -END_WINDOW:
+            continue
+        supported.append((a, b, n, gap))
+
     # unique-partner filter: an end may join at most one other end
     end_use: Counter = Counter()
-    for a, b, _n in supported:
+    for a, b, _n, _g in supported:
         end_use[a] += 1
         end_use[b] += 1
     supported = [
-        (a, b, n) for a, b, n in supported
+        (a, b, n, g) for a, b, n, g in supported
         if end_use[a] == 1 and end_use[b] == 1
     ]
 
-    links = [(a[0], a[1], b[0], b[1], n) for a, b, n in supported]
+    links = [(a[0], a[1], b[0], b[1], n, g) for a, b, n, g in supported]
     out = list(contigs)
     dead = set()
-    for (ca, ea), (cb, eb), _n in supported:
+    for (ca, ea), (cb, eb), _n, _g in supported:
         if ca in dead or cb in dead:
             continue
         # orient: join tail(a-oriented) -> head(b-oriented)

@@ -47,3 +47,27 @@ def test_patching_ignores_ambiguous_and_sparse_links():
     # no pairs at all -> nothing changes
     joined, links = patch_contigs([g1, g2], [])
     assert joined == [g1, g2] and links == []
+
+
+def test_patching_joins_reverse_oriented_contig():
+    rng = random.Random(8)
+    genome = "".join(rng.choice("ACGT") for _ in range(1200))
+    a = genome[:640]
+    b = oracle.revcomp(genome[600:])  # second contig on the other strand
+    pairs = _pairs_from(genome, rng)
+    joined, links = patch_contigs([a, b], pairs)
+    assert len(links) >= 1
+    assert len(joined) == 1
+    assert joined[0] in (genome, oracle.revcomp(genome))
+
+
+def test_patching_gap_estimate_is_plausible():
+    rng = random.Random(9)
+    genome = "".join(rng.choice("ACGT") for _ in range(1200))
+    a = genome[:580]
+    b = genome[620:]  # true gap: 40 bp
+    pairs = _pairs_from(genome, rng, n=200)
+    joined, links = patch_contigs([a, b], pairs)
+    assert len(links) == 1
+    gap = links[0][5]
+    assert -40 <= gap <= 140, gap  # estimate brackets the 40 bp truth
