@@ -150,9 +150,10 @@ def cmd_run(params: Params, seed: int) -> None:
     write_contigs_fasta(os.path.join(out, "part-00000"), contigs,
                         gzip_output=params.gzip_output)
     write_success_marker(out)
-    from .contigs import assembly_stats
+    from .contigs import assembly_stats, write_assembly_report
 
     stats = assembly_stats(contigs)
+    write_assembly_report(os.path.join(out, "assembly_report.txt"), contigs)
     log.info(
         "wrote %d contigs to %s (canonicalized: n=%d total=%dbp "
         "longest=%d N50=%d)", len(contigs), out, stats["n_contigs"],

@@ -308,6 +308,16 @@ def count_kmers(
     """
     from . import pallas_kernels
 
+    # row-index arithmetic (positions, run starts) is int32: one pass is
+    # bounded at 2^31 windows. Larger inputs must stream
+    # (count_kmers_streaming) or shard (parallel.count_kmers_sharded) first —
+    # both keep every per-device pass under the bound.
+    n_windows = bases.shape[0] * max(bases.shape[1] - k + 1, 0)
+    if n_windows >= 2**31:
+        raise ValueError(
+            f"{n_windows} k-mer windows exceed the 2^31 single-pass bound; "
+            "use count_kmers_streaming or the sharded counter")
+
     # opt-in until the kernel is validated on real TPU hardware: the first
     # on-device run hung the remote-TPU tunnel (see SKILL.md notes)
     import os

@@ -845,8 +845,10 @@ def dynamic_assembly(params: Params, *, seed: int = 0) -> None:
         gzip_output=params.gzip_output,
     )
     write_success_marker(out_dir)
-    from .contigs import assembly_stats
+    from .contigs import assembly_stats, write_assembly_report
 
+    write_assembly_report(
+        os.path.join(out_dir, "assembly_report.txt"), contigs)
     stats = assembly_stats(contigs)
     log.info(
         "meta assembly: %d contigs -> %s (canonicalized: n=%d total=%dbp "

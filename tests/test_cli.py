@@ -49,3 +49,44 @@ def test_run_direct_matches_golden(tmp_path):
     lens = _read_fasta_lens(os.path.join(out, "part-00000"))
     assert lens == [4558, 4558]
     assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
+def test_run_writes_assembly_report(tmp_path):
+    import random
+
+    import oracle
+    from reflexiv_tpu.cli import main as cli_main
+
+    rng = random.Random(3)
+    genome = "".join(rng.choice("ACGT") for _ in range(900))
+    fq = tmp_path / "reads.fq"
+    with open(fq, "w") as fh:
+        i = 0
+        for _ in range(12):
+            for s in range(0, 840, 20):
+                r = genome[s:s + 60]
+                if rng.random() < 0.5:
+                    r = oracle.revcomp(r)
+                fh.write(f"@r{i}\n{r}\n+\n{'I'*len(r)}\n")
+                i += 1
+    out = tmp_path / "out"
+    rc = cli_main([
+        "run", "-fastq", str(fq), "-outfile", str(out),
+        "-kmer", "21", "-cover", "2", "-mincontig", "300",
+    ])
+    assert rc == 0
+    report = (out / "assembly_report.txt").read_text()
+    assert "n_contigs\t" in report and "n50\t" in report
+    assert "# per-contig" in report
+
+
+def test_count_kmers_rejects_over_2g_windows():
+    import numpy as np
+    import pytest
+    from reflexiv_tpu.count import count_kmers
+
+    with pytest.raises(ValueError, match="2\\^31"):
+        count_kmers(
+            np.zeros((2**26, 64), np.uint8),  # 2^26 * 34 windows > 2^31
+            np.full(2**26, 64, np.int32), k=31, min_cov=2,
+        )
