@@ -451,14 +451,16 @@ def _compact_grow(
 def run_dyn_extension(
     recs: DynRecords, params: Params, *, kmin: int, kmax: int,
     seed: int = 0, unique_only: bool = False,
-    max_rounds: Optional[int] = None,
+    max_rounds: Optional[int] = None, mesh=None,
 ) -> DynRecords:
     """Iterate mixed-k rounds to fixpoint (cf. FirstFour + Iteration batches,
     ``Pipelines.java:856-952``).
 
     Runs on the 2-bit packed representation (:mod:`reflexiv_tpu.packed_dyn`)
     — 4x less HBM traffic per round than byte records; converts at the
-    boundaries only.
+    boundaries only. With ``mesh`` set, every round is a hash-routed
+    ``all_to_all`` exchange + local join under ``shard_map``
+    (:func:`reflexiv_tpu.parallel.pdyn_extension_round_sharded`).
     """
     from . import packed_dyn as pd
 
@@ -468,6 +470,49 @@ def run_dyn_extension(
     stable = 0
     prev = int(jnp.sum(p.live))
     need = int(jnp.max(jnp.where(p.live, p.length, 0))) * 2
+
+    if mesh is not None:
+        from .parallel import pdyn_extension_round_sharded
+        from .records import next_pow2 as _np2
+
+        n_dev = mesh.devices.size
+        # floor the pool so per-destination buckets survive key skew even
+        # when only a handful of records remain (fixing stage)
+        cap = max(_np2(prev) * 2, 64 * n_dev)
+        cap = ((cap + n_dev - 1) // n_dev) * n_dev
+        p = _pad_pdyn(p, cap)
+        it = 1
+        while it <= max_rounds:
+            if need > p.base_capacity:
+                from .packed import limbs_for
+
+                pad = _np2(limbs_for(need)) - p.limb_capacity
+                if pad > 0:
+                    p = p._replace(seq=jnp.pad(p.seq, ((0, 0), (0, pad))))
+            p_next, ovf = pdyn_extension_round_sharded(
+                p, jnp.uint32(seed + it), kmin=kmin, max_sub=max_sub,
+                mesh=mesh, cap_factor=4, unique_only=unique_only,
+            )
+            if int(jnp.sum(ovf)) != 0:
+                # bucket overflow (pathological key skew): the round dropped
+                # rows, so discard it and retry at double capacity — the
+                # analog of the reference's repartition escape hatch
+                cap *= 2
+                log.info("dyn round %d overflowed; repadding to %d", it, cap)
+                p = _pad_pdyn(p, cap)
+                continue
+            p = p_next
+            n = int(jnp.sum(p.live))
+            need = int(jnp.max(jnp.where(p.live, p.length, 0))) * 2
+            if n == prev:
+                stable += 1
+            else:
+                stable, prev = 0, n
+            if it >= params.min_iterations and stable >= 12:
+                break
+            it += 1
+        return pd.to_dyn(p)
+
     for it in range(1, max_rounds + 1):
         p = pd.compact_grow_pdyn(p, prev, need)
         p, live_n, need_arr = pd.pdyn_extension_round_fused(
@@ -485,12 +530,39 @@ def run_dyn_extension(
     return pd.to_dyn(p)
 
 
+def _pad_pdyn(p, cap_rows: int):
+    """Live rows first into a fresh pool of ``cap_rows`` (mesh-divisible)."""
+    from . import packed_dyn as pd
+
+    live = np.asarray(p.live)
+    idx = np.nonzero(live)[0]
+    n = len(idx)
+    assert n <= cap_rows, f"{n} live rows exceed capacity {cap_rows}"
+    seq = np.zeros((cap_rows, p.limb_capacity), np.uint32)
+    seq[:n] = np.asarray(p.seq)[idx]
+    length = np.zeros(cap_rows, np.int32)
+    length[:n] = np.asarray(p.length)[idx]
+    subk = np.ones(cap_rows, np.int32)
+    subk[:n] = np.asarray(p.subk)[idx]
+    left = np.zeros(cap_rows, np.int32)
+    left[:n] = np.asarray(p.left)[idx]
+    right = np.zeros(cap_rows, np.int32)
+    right[:n] = np.asarray(p.right)[idx]
+    new_live = np.zeros(cap_rows, bool)
+    new_live[:n] = True
+    return pd.PackedDynRecords(
+        jnp.asarray(seq), jnp.asarray(length), jnp.asarray(subk),
+        jnp.asarray(left), jnp.asarray(right), jnp.asarray(new_live),
+    )
+
+
 # ---------------------------------------------------------------------------
 # fixing + dedup + drivers
 # ---------------------------------------------------------------------------
 
 def fixing_rounds(
     recs: DynRecords, params: Params, *, kfix: int = 31, seed: int = 1000,
+    mesh=None,
 ) -> DynRecords:
     """Contig-end rejoin on fixed (kfix-1)-base overlaps, unique joins only.
 
@@ -509,7 +581,7 @@ def fixing_rounds(
     )
     return run_dyn_extension(
         recs, params, kmin=kfix, kmax=kfix, seed=seed,
-        unique_only=True, max_rounds=48,
+        unique_only=True, max_rounds=48, mesh=mesh,
     )
 
 
@@ -587,12 +659,15 @@ def assemble_dynamic(
     *,
     seed: int = 0,
     workdir: Optional[str] = None,
+    mesh=None,
 ) -> List[Tuple[str, str]]:
     """Full dynamic multi-k assembly from reads (the ``meta`` algorithm).
 
     With ``workdir`` set, every pipeline stage checkpoints its state and the
     call resumes from the newest completed stage (the reference's
-    ``_SUCCESS``-marker resume, ``Pipelines.java:613-830``).
+    ``_SUCCESS``-marker resume, ``Pipelines.java:613-830``). With ``mesh``
+    set, the extension and fixing stages run their rounds sharded over the
+    device mesh.
     """
     from .bitpack import decode_to_str
     from .records import REPEAT_KILLED
@@ -693,12 +768,14 @@ def assemble_dynamic(
             ckpt.save_records(workdir, "01reduced", pool)
 
     if resume_idx < 2:
-        pool = run_dyn_extension(pool, params, kmin=kmin, kmax=kmax, seed=seed)
+        pool = run_dyn_extension(
+            pool, params, kmin=kmin, kmax=kmax, seed=seed, mesh=mesh)
         if workdir:
             ckpt.save_records(workdir, "02extended", pool)
 
     if resume_idx < 3:
-        pool = fixing_rounds(pool, params, kfix=min(31, kmin), seed=seed + 1000)
+        pool = fixing_rounds(
+            pool, params, kfix=min(31, kmin), seed=seed + 1000, mesh=mesh)
         if workdir:
             ckpt.save_records(workdir, "03fixed", pool)
 

@@ -190,6 +190,79 @@ def extension_round_sharded_packed(
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("kmin", "max_sub", "mesh", "cap_factor", "unique_only"),
+)
+def pdyn_extension_round_sharded(
+    p,  # packed_dyn.PackedDynRecords, arrays sharded over leading axis
+    round_seed: jnp.ndarray,
+    *,
+    kmin: int,
+    max_sub: int,
+    mesh: Mesh,
+    cap_factor: int = 2,
+    unique_only: bool = False,
+):
+    """Sharded mixed-k extension round (the production ``meta`` hot loop).
+
+    Records route to the hash owner of their (kmin-1)-base group key; the
+    owner re-derives the orientation draw (content-deterministic, same seed
+    => same marker as the routing side) and runs the local packed mixed-k
+    join. Returns ``(records, overflow)``.
+    """
+    from . import packed as pk
+    from . import packed_dyn as pd
+
+    n = mesh.devices.size
+
+    def local(seq, length, subk, left, right, live, seed):
+        rec = pd.PackedDynRecords(seq, length, subk, left, right, live)
+        M = seq.shape[0]
+        marker = pd.draw_markers_pdyn(rec, seed[0])
+        key_start = jnp.where(marker == 1, 0, length - subk)
+        keys = pk.extract_window(seq, jnp.maximum(key_start, 0), kmin - 1)
+        W = keys.shape[1]
+        h = mix32(keys[:, 0] ^ jnp.uint32(0x27D4EB2F))
+        for i in range(1, W):
+            h = mix32(h ^ keys[:, i])
+        owner = (h % jnp.uint32(n)).astype(jnp.int32)
+        cap = max(1, cap_factor * M // n)
+        tree = (seq, length, subk, left, right)
+        (seq_r, len_r, sub_r, left_r, right_r), valid_r, overflow = (
+            _scatter_exchange(tree, owner, live, n, cap)
+        )
+        joined, live_n, _need = pd.pdyn_extension_round_fused(
+            pd.PackedDynRecords(seq_r, len_r, sub_r, left_r, right_r, valid_r),
+            seed[0], kmin=kmin, max_sub=max_sub, unique_only=unique_only,
+        )
+        order = jnp.argsort(~joined.live)
+        take = order[:M]
+        out = pd.PackedDynRecords(
+            joined.seq[take], joined.length[take], joined.subk[take],
+            joined.left[take], joined.right[take], joined.live[take],
+        )
+        lost = jnp.sum(joined.live) - jnp.sum(out.live)
+        return (*out, (overflow + lost)[None])
+
+    seed_arr = jnp.broadcast_to(jnp.asarray(round_seed, jnp.uint32), (n,))
+    out_seq, out_len, out_sub, out_left, out_right, out_live, overflow = (
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P("shards"),) * 7,
+            out_specs=(P("shards"),) * 7,
+        )(*p, seed_arr)
+    )
+    from . import packed_dyn as pd2
+
+    return (
+        pd2.PackedDynRecords(
+            out_seq, out_len, out_sub, out_left, out_right, out_live),
+        overflow,
+    )
+
+
+@functools.partial(
     jax.jit, static_argnames=("k", "round_seed", "mesh", "cap_factor")
 )
 def extension_round_sharded(

@@ -158,3 +158,24 @@ def test_sharded_parking_preserves_assembly(mesh):
     want = sorted(oracle.canonical(s) for _, s in assemble_reads(
         mat, lens, params, seed=0))
     assert seqs == want
+
+
+def test_sharded_meta_assembly_reconstructs_genome(mesh):
+    """assemble_dynamic with a mesh: sharded mixed-k rounds rebuild the
+    genome like the single-chip path."""
+    import random
+    rng = random.Random(41)
+    from reflexiv_tpu.dynamic import assemble_dynamic
+    from reflexiv_tpu.params import Params
+
+    genome, reads = _reads(rng, genome_len=800, n_reads=400, read_len=70)
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    params = Params(klist=(21, 31, 41), min_kmer_coverage=2, min_contig=400,
+                    min_iterations=15)
+    got = assemble_dynamic(mat, lens, params, seed=0, mesh=mesh)
+    want = assemble_dynamic(mat, lens, params, seed=0)
+    got_best = max((s for _, s in got), key=len)
+    want_best = max((s for _, s in want), key=len)
+    assert len(got_best) >= 0.95 * len(want_best)
+    assert got_best in genome + genome[:0] or oracle.canonical(
+        got_best) == oracle.canonical(genome) or len(got_best) >= 700
