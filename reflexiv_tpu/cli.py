@@ -130,6 +130,19 @@ def cmd_counter(params: Params, seed: int) -> None:
     log.info("wrote %d k-mers to %s", len(counts), path)
 
 
+def _auto_mesh():
+    """One mesh over every local device when more than one is present
+    (sharded counting/extension), else None (single-chip drivers)."""
+    import jax
+
+    devices = jax.devices()
+    if len(devices) < 2:
+        return None
+    from .parallel import make_mesh
+
+    return make_mesh(devices)
+
+
 def cmd_run(params: Params, seed: int) -> None:
     """Single-k assembly (Main -> ReflexivDSMain.assembly)."""
     from .assembler import assemble_from_counts, assemble_reads
@@ -145,7 +158,14 @@ def cmd_run(params: Params, seed: int) -> None:
             limbs[keep], counts[keep], params, seed=seed)
     else:
         mat, lens = _load_read_matrix(params)
-        contigs = assemble_reads(mat, lens, params, seed=seed)
+        mesh = _auto_mesh()
+        if mesh is not None:
+            from .parallel import assemble_reads_sharded
+
+            contigs = assemble_reads_sharded(
+                mat, lens, params, mesh=mesh, seed=seed)
+        else:
+            contigs = assemble_reads(mat, lens, params, seed=seed)
     out = params.output_path
     write_contigs_fasta(os.path.join(out, "part-00000"), contigs,
                         gzip_output=params.gzip_output)

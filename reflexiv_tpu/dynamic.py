@@ -908,13 +908,20 @@ def read_sorted_set(pattern: str, k: int):
 
 
 def dynamic_assembly(params: Params, *, seed: int = 0) -> None:
-    """``meta`` command driver: assemble + write contigs."""
+    """``meta`` command driver: assemble + write contigs. Uses a device mesh
+    for the extension/fixing rounds when several devices are present."""
     from .io import load_reads, write_contigs_fasta, write_success_marker
 
+    devices = jax.devices()
+    mesh = None
+    if len(devices) > 1:
+        from .parallel import make_mesh
+
+        mesh = make_mesh(devices)
     mat, lens = load_reads(params.input_fastq or params.input_fasta)
     contigs = assemble_dynamic(
         mat, lens, params, seed=seed,
-        workdir=os.path.join(params.output_path, "steps"),
+        workdir=os.path.join(params.output_path, "steps"), mesh=mesh,
     )
     out_dir = os.path.join(params.output_path, "Assembly")
     write_contigs_fasta(

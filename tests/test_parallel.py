@@ -179,3 +179,35 @@ def test_sharded_meta_assembly_reconstructs_genome(mesh):
     assert len(got_best) >= 0.95 * len(want_best)
     assert got_best in genome + genome[:0] or oracle.canonical(
         got_best) == oracle.canonical(genome) or len(got_best) >= 700
+
+
+def test_dyn_sharded_overflow_retries(mesh, caplog):
+    """Pathological key skew (every record shares one head key) must trigger
+    the repad-and-retry path, not lose rows."""
+    import logging
+
+    import jax.numpy as jnp
+    from reflexiv_tpu.dynamic import DynRecords, run_dyn_extension
+    from reflexiv_tpu.params import Params
+
+    rng = np.random.default_rng(7)
+    n, k = 900, 21
+    head = rng.integers(0, 4, size=k - 1, dtype=np.uint8)
+    seq = np.zeros((n, 64), np.uint8)
+    seq[:, :k - 1] = head
+    seq[:, k - 1: 2 * k] = rng.integers(0, 4, size=(n, k + 1))
+    recs = DynRecords(
+        jnp.asarray(seq), jnp.full(n, 2 * k, jnp.int32),
+        jnp.full(n, k - 1, jnp.int32),
+        jnp.full(n, -1, jnp.int32), jnp.full(n, -1, jnp.int32),
+        jnp.ones(n, bool),
+    )
+    params = Params(k=k, min_iterations=1)
+    with caplog.at_level(logging.INFO, logger="reflexiv_tpu"):
+        out = run_dyn_extension(
+            recs, params, kmin=k, kmax=k, max_rounds=2, mesh=mesh)
+    live_out = int(np.asarray(out.live).sum())
+    # each round merges at most one pair per equal-key group; with one hot
+    # group at most ~2 merges happened — anything lower means dropped rows
+    assert live_out >= n - 4
+    assert any("overflowed" in r.message for r in caplog.records)
