@@ -513,6 +513,7 @@ def run_dyn_extension(
             it += 1
         return pd.to_dyn(p)
 
+    parked: list = []
     for it in range(1, max_rounds + 1):
         p = pd.compact_grow_pdyn(p, prev, need)
         p, live_n, need_arr = pd.pdyn_extension_round_fused(
@@ -527,6 +528,17 @@ def run_dyn_extension(
             stable, prev = 0, n
         if it >= params.min_iterations and stable >= 12:
             break
+        # park finished records off the per-round sort volume (conservative
+        # kmin-1 group-key census; the mixed-k analog of the single-k
+        # extendability prefilter)
+        if it % 8 == 0 and it >= 8:
+            fin = np.asarray(pd.finished_mask_pdyn(p, kmin))
+            n_fin = int(fin.sum())
+            if n_fin > max(32, p.capacity // 8):
+                p = pd.park_finished_pdyn(p, fin, parked)
+                prev = n - n_fin
+    if parked:
+        p = pd.merge_parked_pdyn(p, parked)
     return pd.to_dyn(p)
 
 

@@ -221,6 +221,107 @@ def pdyn_extension_round_fused(
     return out, live_n, need
 
 
+@functools.partial(jax.jit, static_argnames=("kmin",))
+def finished_mask_pdyn(p: PackedDynRecords, kmin: int) -> jnp.ndarray:
+    """Mixed-k extendability prefilter (conservative).
+
+    Any mixed-k join requires the forward head and the reflected tail to
+    agree on their first (kmin-1) bases (the round's group key), so a record
+    whose head key matches no live record's tail key — and vice versa — can
+    never merge again and may be parked. Prefix-relation subtleties only
+    *narrow* the true merge set, so this census never parks a mergeable
+    record.
+    """
+    N = p.capacity
+    gw = kmin - 1
+    head = extract_window(p.seq, jnp.zeros_like(p.length), gw)
+    tail = extract_window(
+        p.seq, jnp.maximum(p.length - p.subk, 0), gw
+    )
+    keys = jnp.concatenate([head, tail], axis=0)
+    is_tail = jnp.concatenate(
+        [jnp.zeros(N, jnp.int32), jnp.ones(N, jnp.int32)]
+    )
+    live2 = jnp.concatenate([p.live, p.live])
+    Wp = keys.shape[1]
+    keyed = jnp.where(live2[:, None], keys, jnp.uint32(0xFFFFFFFF))
+    order = jnp.lexsort(tuple(keyed[:, i] for i in range(Wp - 1, -1, -1)))
+    skey = keyed[order]
+    stail = is_tail[order]
+    slive = live2[order]
+    prev = jnp.roll(skey, 1, axis=0)
+    is_start = jnp.any(skey != prev, axis=1)
+    is_start = is_start.at[0].set(True)
+    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    n_heads = jax.ops.segment_sum(
+        jnp.where(slive & (stail == 0), 1, 0), seg, num_segments=2 * N
+    )[seg]
+    n_tails = jax.ops.segment_sum(
+        jnp.where(slive & (stail == 1), 1, 0), seg, num_segments=2 * N
+    )[seg]
+    partnered = jnp.zeros(2 * N, dtype=bool).at[order].set(
+        jnp.where(stail == 0, n_tails > 0, n_heads > 0)
+    )
+    return p.live & ~partnered[:N] & ~partnered[N:]
+
+
+def park_finished_pdyn(p: PackedDynRecords, fin, parked: list):
+    """Move rows flagged by ``fin`` (host bool mask) into ``parked`` as
+    ``(limbs, length, subk, left, right)`` tuples; returns the updated
+    pool."""
+    import numpy as np
+
+    seq_h = np.asarray(p.seq)
+    len_h = np.asarray(p.length)
+    sub_h = np.asarray(p.subk)
+    left_h = np.asarray(p.left)
+    right_h = np.asarray(p.right)
+    for i in np.nonzero(fin)[0]:
+        parked.append((
+            seq_h[i, : limbs_for(len_h[i])].copy(), int(len_h[i]),
+            int(sub_h[i]), int(left_h[i]), int(right_h[i]),
+        ))
+    return p._replace(live=p.live & ~jnp.asarray(fin))
+
+
+def merge_parked_pdyn(p: PackedDynRecords, parked: list) -> PackedDynRecords:
+    """Re-combine parked rows with the active pool (host-built)."""
+    import numpy as np
+
+    live = np.asarray(p.live)
+    idx = np.nonzero(live)[0]
+    n_active = len(idx)
+    total = n_active + len(parked)
+    max_limbs = max(
+        [p.limb_capacity] + [s.shape[0] for s, _, _, _, _ in parked])
+    cap = 16
+    while cap < total:
+        cap <<= 1
+    seq = np.zeros((cap, max_limbs), np.uint32)
+    length = np.zeros(cap, np.int32)
+    subk = np.ones(cap, np.int32)
+    left = np.zeros(cap, np.int32)
+    right = np.zeros(cap, np.int32)
+    new_live = np.zeros(cap, bool)
+    seq[:n_active, : p.limb_capacity] = np.asarray(p.seq)[idx]
+    length[:n_active] = np.asarray(p.length)[idx]
+    subk[:n_active] = np.asarray(p.subk)[idx]
+    left[:n_active] = np.asarray(p.left)[idx]
+    right[:n_active] = np.asarray(p.right)[idx]
+    new_live[:n_active] = True
+    for j, (s, l, sk, lft, rgt) in enumerate(parked):
+        i = n_active + j
+        seq[i, : len(s)] = s
+        length[i] = l
+        subk[i] = sk
+        left[i], right[i] = lft, rgt
+        new_live[i] = True
+    return PackedDynRecords(
+        jnp.asarray(seq), jnp.asarray(length), jnp.asarray(subk),
+        jnp.asarray(left), jnp.asarray(right), jnp.asarray(new_live),
+    )
+
+
 def compact_grow_pdyn(
     p: PackedDynRecords, live_n: int, need_bases: int
 ) -> PackedDynRecords:

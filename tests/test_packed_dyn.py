@@ -115,3 +115,56 @@ def test_roundtrip_conversion():
     byte = random_pool(rng, 32, [9, 13], cap_len=40)
     back = pd.to_dyn(pd.from_dyn(byte))
     assert canon_rows(byte) == canon_rows(back)
+
+
+def test_finished_mask_pdyn_conservative():
+    """A parked record must have no group-key partner; records with live
+    partners stay."""
+    rng = np.random.default_rng(21)
+    kmin = 9
+    byte = random_pool(rng, 64, [kmin, 13], cap_len=48)
+    p = pd.from_dyn(byte)
+    fin = np.asarray(pd.finished_mask_pdyn(p, kmin))
+    # oracle: head/tail (kmin-1)-windows as strings
+    seq = np.asarray(byte.seq)
+    length = np.asarray(byte.length)
+    subk = np.asarray(byte.subk)
+    live = np.asarray(byte.live)
+    gw = kmin - 1
+    heads, tails = {}, {}
+    for i in np.nonzero(live)[0]:
+        heads.setdefault(bytes(seq[i, :gw]), []).append(i)
+        t0 = length[i] - subk[i]
+        tails.setdefault(bytes(seq[i, t0:t0 + gw]), []).append(i)
+    for i in np.nonzero(live)[0]:
+        h = bytes(seq[i, :gw])
+        t0 = length[i] - subk[i]
+        t = bytes(seq[i, t0:t0 + gw])
+        want = (h not in tails) and (t not in heads)
+        assert bool(fin[i]) == want, i
+    assert not fin[~live].any()
+
+
+def test_dyn_parking_preserves_assembly():
+    """Forcing the parking path must not change the mixed-k fixpoint."""
+    import random as _random
+
+    import sys
+    sys.path.insert(0, "tests")
+    from reflexiv_tpu.dynamic import assemble_dynamic
+    from reflexiv_tpu.params import Params
+
+    rng = _random.Random(77)
+    genome = "".join(rng.choice("ACGT") for _ in range(900))
+    reads = []
+    for _ in range(450):
+        s = rng.randrange(900 - 70)
+        reads.append(genome[s:s + 70])
+    from reflexiv_tpu.io import reads_to_matrix
+
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    params = Params(klist=(21, 31), min_kmer_coverage=2, min_contig=400,
+                    min_iterations=15)
+    out = assemble_dynamic(mat, lens, params, seed=0)
+    best = max((s for _, s in out), key=len)
+    assert len(best) >= 850
