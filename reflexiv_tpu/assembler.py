@@ -231,8 +231,10 @@ def assemble_reads(
     seed: int = 0,
 ) -> List[Tuple[str, str]]:
     """Full single-k assembly from a read code matrix."""
+    from .dynamic import count_kmers_auto
+
     params.validate()
-    kmers, counts = count_mod.count_kmers(
+    kmers, counts = count_kmers_auto(
         bases,
         lengths,
         k=params.k,

@@ -101,6 +101,34 @@ def _gather_window(seq: jnp.ndarray, start: jnp.ndarray, width: int):
     return jnp.take_along_axis(seq, idx, axis=1)
 
 
+# chunked counting kicks in past this many k-mer windows per pass: bounds a
+# pass's sort buffers to ~2 GB (N x (W+1) uint32) regardless of input size
+STREAM_WINDOW_LIMIT = 1 << 27
+
+
+def count_kmers_auto(bases, lengths, *, k, min_cov, max_cov,
+                     front_clip=0, end_clip=0):
+    """Single-pass counting when the window volume fits comfortably; chunked
+    streaming (:func:`reflexiv_tpu.count.count_kmers_streaming`) beyond."""
+    R, L = bases.shape
+    n_windows = R * max(L - k + 1, 0)
+    if n_windows <= STREAM_WINDOW_LIMIT:
+        return count_mod.count_kmers(
+            bases, lengths, k=k, min_cov=min_cov, max_cov=max_cov,
+            front_clip=front_clip, end_clip=end_clip,
+        )
+    rows = max(1, STREAM_WINDOW_LIMIT // max(L - k + 1, 1))
+
+    def chunks():
+        for lo in range(0, R, rows):
+            yield bases[lo:lo + rows], lengths[lo:lo + rows]
+
+    return count_mod.count_kmers_streaming(
+        chunks(), k=k, min_cov=min_cov, max_cov=max_cov,
+        front_clip=front_clip, end_clip=end_clip,
+    )
+
+
 # ---------------------------------------------------------------------------
 # per-k sorting stage
 # ---------------------------------------------------------------------------
@@ -748,7 +776,7 @@ def assemble_dynamic(
                     max_cov=params.max_kmer_coverage,
                 )
             else:
-                limbs, counts = count_mod.count_kmers(
+                limbs, counts = count_kmers_auto(
                     bases, lengths, k=k,
                     min_cov=params.min_kmer_coverage,
                     max_cov=params.max_kmer_coverage,
@@ -847,7 +875,7 @@ def dynamic_reduction(params: Params, *, seed: int = 0) -> None:
     klist = sorted(k for k in params.klist if k + 2 < mat.shape[1])
     sorted_sets = {}
     for k in klist:
-        limbs, counts = count_mod.count_kmers(
+        limbs, counts = count_kmers_auto(
             mat, lens, k=k, min_cov=params.min_kmer_coverage,
             max_cov=params.max_kmer_coverage,
         )

@@ -33,3 +33,23 @@ def test_streaming_matches_single_shot():
             bitpack.unpack_bases(jnp.asarray(row), k)))] = int(c)
     want = oracle_count(reads, k, min_cov=min_cov)
     assert got == want
+
+
+def test_count_kmers_auto_matches_single_pass(monkeypatch):
+    import numpy as np
+    from reflexiv_tpu import dynamic as dyn
+    from reflexiv_tpu.count import count_kmers
+
+    rng = np.random.default_rng(3)
+    R, L, k = 300, 80, 21
+    mat = rng.integers(0, 4, size=(R, L)).astype(np.uint8)
+    lens = rng.integers(k + 3, L + 1, size=R).astype(np.int32)
+    col = np.arange(L)[None, :]
+    mat[col >= lens[:, None]] = 0
+    want_l, want_c = count_kmers(mat, lens, k=k, min_cov=2)
+    monkeypatch.setattr(dyn, "STREAM_WINDOW_LIMIT", 1024)  # force streaming
+    got_l, got_c = dyn.count_kmers_auto(mat, lens, k=k, min_cov=2,
+                                        max_cov=10_000_000)
+    want = {tuple(r): c for r, c in zip(want_l.tolist(), want_c.tolist())}
+    got = {tuple(r): c for r, c in zip(got_l.tolist(), got_c.tolist())}
+    assert want == got
