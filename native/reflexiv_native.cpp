@@ -170,4 +170,124 @@ void rfx_merge_pairs(const uint8_t* m1, const int32_t* l1, int64_t stride1,
   }
 }
 
+// Contig containment dedup (ReflexivDSDynamicKmerDedup equivalent; mirrors
+// reflexiv_tpu.dynamic.dedup_contigs exactly). Input: 2-bit contig codes
+// concatenated into `codes` with row offsets (n+1 entries), PRE-SORTED by
+// length descending with exact duplicates already removed. A contig is
+// dropped when it (or its reverse complement) is a substring of an already
+// kept contig; candidates are seeded through a strided k-mer hash index so
+// the scan stays near-linear. Writes 1/0 into keep; returns kept count.
+int64_t rfx_dedup(const uint8_t* codes, const int64_t* offsets, int64_t n,
+                  int32_t seed_k, int32_t stride, uint8_t* keep) {
+  if (seed_k <= 0 || seed_k > 31 || stride <= 0) return -1;
+  const uint64_t mask =
+      seed_k == 32 ? ~0ULL : ((1ULL << (2 * seed_k)) - 1ULL);
+
+  struct Hit {
+    uint64_t key;
+    int32_t id;
+  };
+  // open-addressing multimap: power-of-two table of (key, kept id)
+  std::vector<Hit> table;
+  size_t t_cap = 1 << 12;
+  size_t t_n = 0;
+  table.assign(t_cap, Hit{~0ULL, -1});
+  auto hashv = [](uint64_t k) {
+    k ^= k >> 33;
+    k *= 0xff51afd7ed558ccdULL;
+    k ^= k >> 33;
+    return k;
+  };
+  auto grow = [&]() {
+    std::vector<Hit> old;
+    old.swap(table);
+    t_cap <<= 1;
+    table.assign(t_cap, Hit{~0ULL, -1});
+    for (const Hit& h : old) {
+      if (h.id < 0) continue;
+      size_t p = hashv(h.key) & (t_cap - 1);
+      while (table[p].id >= 0) p = (p + 1) & (t_cap - 1);
+      table[p] = h;
+    }
+  };
+  auto insert = [&](uint64_t key, int32_t id) {
+    if (2 * (t_n + 1) > t_cap) grow();
+    size_t p = hashv(key) & (t_cap - 1);
+    while (table[p].id >= 0) p = (p + 1) & (t_cap - 1);
+    table[p] = Hit{key, id};
+    ++t_n;
+  };
+
+  std::vector<int32_t> kept;           // kept row ids, in keep order
+  std::vector<uint8_t> rc;             // scratch: reverse complement
+  std::vector<int32_t> cands;
+
+  auto contains = [&](const uint8_t* hay, int64_t hay_len,
+                      const uint8_t* needle, int64_t nd_len) {
+    if (nd_len > hay_len) return false;
+    return memmem(hay, (size_t)hay_len, needle, (size_t)nd_len) != nullptr;
+  };
+
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* s = codes + offsets[i];
+    const int64_t len = offsets[i + 1] - offsets[i];
+    rc.assign((size_t)len, 0);
+    for (int64_t j = 0; j < len; ++j) rc[j] = 3 - s[len - 1 - j];
+
+    bool contained = false;
+    if (len < seed_k + stride - 1) {
+      // too short for the probe-window guarantee: exact scan of all kept
+      for (int32_t c : kept) {
+        const uint8_t* t = codes + offsets[c];
+        const int64_t tl = offsets[c + 1] - offsets[c];
+        if (contains(t, tl, s, len) || contains(t, tl, rc.data(), len)) {
+          contained = true;
+          break;
+        }
+      }
+    } else {
+      // one dense window of `stride` consecutive probes per strand hits a
+      // stored strided seed for any true containment
+      cands.clear();
+      for (int pass = 0; pass < 2 && !contained; ++pass) {
+        const uint8_t* q = pass == 0 ? s : rc.data();
+        uint64_t v = 0;
+        for (int32_t j = 0; j < seed_k - 1; ++j) v = (v << 2) | q[j];
+        const int32_t probes =
+            (int32_t)((stride < len - seed_k + 1) ? stride
+                                                  : len - seed_k + 1);
+        for (int32_t j = 0; j < probes; ++j) {
+          v = ((v << 2) | q[j + seed_k - 1]) & mask;
+          size_t p = hashv(v) & (t_cap - 1);
+          while (table[p].id >= 0) {
+            if (table[p].key == v) cands.push_back(table[p].id);
+            p = (p + 1) & (t_cap - 1);
+          }
+        }
+      }
+      for (int32_t c : cands) {
+        const uint8_t* t = codes + offsets[c];
+        const int64_t tl = offsets[c + 1] - offsets[c];
+        if (contains(t, tl, s, len) || contains(t, tl, rc.data(), len)) {
+          contained = true;
+          break;
+        }
+      }
+    }
+    keep[i] = contained ? 0 : 1;
+    if (!contained) {
+      kept.push_back((int32_t)i);
+      if (len >= seed_k) {
+        for (int64_t start = 0; start + seed_k <= len; start += stride) {
+          uint64_t vfull = 0;
+          for (int32_t j = 0; j < seed_k; ++j)
+            vfull = (vfull << 2) | s[start + j];
+          insert(vfull & mask, (int32_t)i);
+        }
+      }
+    }
+  }
+  return (int64_t)kept.size();
+}
+
 }  // extern "C"

@@ -632,9 +632,15 @@ def dedup_contigs(contigs: List[str], seed_k: int = 31) -> List[str]:
     Like the reference, containment candidates are seeded by shared marker
     k-mers (``DSMarkerKmerSelection``/``geq(2)``) before the exact check —
     the seed index keeps this near-linear instead of all-pairs substring
-    scans.
+    scans. Uses the C++ implementation (``rfx_dedup``) when the native
+    library is available; this Python version is the fallback and oracle.
     """
+    from . import native
     from .contigs import revcomp_str
+
+    native_out = native.dedup_contigs_native(contigs, seed_k=seed_k)
+    if native_out is not None:
+        return native_out
 
     out: List[str] = []
     stride = 16

@@ -35,12 +35,18 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         return _lib
     if _build_failed:
         return None
-    if not os.path.exists(_SO_PATH):
-        src = os.path.join(_NATIVE_DIR, "reflexiv_native.cpp")
+    src = os.path.join(_NATIVE_DIR, "reflexiv_native.cpp")
+    stale = (
+        os.path.exists(_SO_PATH) and os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
+    )
+    if not os.path.exists(_SO_PATH) or stale:
         if not os.path.exists(src):
             _build_failed = True
             return None
         try:
+            if stale:
+                os.remove(_SO_PATH)
             subprocess.run(
                 ["make", "-C", _NATIVE_DIR], check=True,
                 capture_output=True, timeout=120,
@@ -65,6 +71,12 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.rfx_dedup.restype = ctypes.c_int64
+    lib.rfx_dedup.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8),
     ]
     lib.rfx_merge_pairs.restype = None
     lib.rfx_merge_pairs.argtypes = [
@@ -119,6 +131,42 @@ def load_reads_native(
             raise OSError(f"native load failed for {path}")
         at += int(got)
     return codes[:at], lens[:at]
+
+
+def dedup_contigs_native(
+    contigs: List[str], *, seed_k: int = 31, stride: int = 16,
+) -> Optional[List[str]]:
+    """Containment dedup over both strands (seed-indexed, C++).
+
+    Same semantics as the Python implementation in
+    :func:`reflexiv_tpu.dynamic.dedup_contigs`; returns None when the native
+    library is unavailable.
+    """
+    lib = _get_lib()
+    if lib is None or not hasattr(lib, "rfx_dedup"):
+        return None
+    from .bitpack import encode_ascii
+
+    ordered = sorted(set(contigs), key=len, reverse=True)
+    if not ordered:
+        return []
+    offsets = np.zeros(len(ordered) + 1, dtype=np.int64)
+    for i, s in enumerate(ordered):
+        offsets[i + 1] = offsets[i] + len(s)
+    codes = np.empty(int(offsets[-1]), dtype=np.uint8)
+    for i, s in enumerate(ordered):
+        codes[offsets[i]: offsets[i + 1]] = encode_ascii(
+            np.frombuffer(s.encode(), np.uint8))
+    keep = np.zeros(len(ordered), dtype=np.uint8)
+    got = lib.rfx_dedup(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(ordered), seed_k, stride,
+        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if got < 0:
+        return None
+    return [s for s, k in zip(ordered, keep) if k]
 
 
 def merge_pairs_native(

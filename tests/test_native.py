@@ -52,3 +52,69 @@ def test_native_merge_pairs_matches_python():
     merged, mask = merge_pairs(m1, l1, m2, l2)
     assert mask[:-1].all()
     assert (best[:30] >= 10).all()
+
+
+def test_native_dedup_matches_python():
+    import random
+
+    import oracle
+    from reflexiv_tpu import native
+    from reflexiv_tpu.contigs import revcomp_str
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = random.Random(4)
+    base = ["".join(rng.choice("ACGT") for _ in range(n))
+            for n in (700, 650, 600, 120, 80)]
+    contigs = list(base)
+    contigs.append(base[0][100:400])                 # contained
+    contigs.append(revcomp_str(base[1][50:500]))     # RC-contained
+    contigs.append(base[2])                          # exact duplicate
+    contigs.append(revcomp_str(base[3]))             # RC duplicate (short)
+    contigs.append("".join(rng.choice("ACGT") for _ in range(500)))
+    got = native.dedup_contigs_native(contigs)
+
+    # Python oracle: the fallback body of dedup_contigs
+    def py_dedup(cs):
+        out = []
+        for s in sorted(set(cs), key=len, reverse=True):
+            rc = revcomp_str(s)
+            if not any(s in t or rc in t for t in out):
+                out.append(s)
+        return out
+
+    assert sorted(got) == sorted(py_dedup(contigs))
+
+
+def test_native_dedup_large_random():
+    import random
+
+    from reflexiv_tpu import native
+    from reflexiv_tpu.contigs import revcomp_str
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = random.Random(9)
+    contigs = []
+    for _ in range(60):
+        s = "".join(rng.choice("ACGT") for _ in range(rng.randrange(60, 900)))
+        contigs.append(s)
+        if rng.random() < 0.5 and len(s) > 120:
+            a = rng.randrange(0, len(s) - 100)
+            frag = s[a:a + rng.randrange(60, len(s) - a)]
+            contigs.append(frag if rng.random() < 0.5 else revcomp_str(frag))
+
+    def py_dedup(cs):
+        out = []
+        for s in sorted(set(cs), key=len, reverse=True):
+            rc = revcomp_str(s)
+            if not any(s in t or rc in t for t in out):
+                out.append(s)
+        return out
+
+    got = native.dedup_contigs_native(contigs)
+    assert sorted(got) == sorted(py_dedup(contigs))
