@@ -168,3 +168,27 @@ def test_dyn_parking_preserves_assembly():
     out = assemble_dynamic(mat, lens, params, seed=0)
     best = max((s for _, s in out), key=len)
     assert len(best) >= 850
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_round_equivalence_large_k(seed):
+    """Mixed pools spanning the production klist (sub-kmers across many
+    uint32 limbs) must agree byte-vs-packed."""
+    rng = np.random.default_rng(100 + seed)
+    klist = [23, 41, 67, 95]
+    byte = random_pool(rng, 128, klist, cap_len=224)
+    dup = rng.integers(0, 128, size=40)
+    seq = np.asarray(byte.seq).copy()
+    seq[dup // 2] = seq[dup]
+    byte = byte._replace(
+        seq=jnp.asarray(seq),
+        length=jnp.asarray(np.asarray(byte.length)).at[dup // 2].set(
+            byte.length[dup]),
+        subk=jnp.asarray(np.asarray(byte.subk)).at[dup // 2].set(
+            byte.subk[dup]),
+    )
+    marker = _draw_markers_dyn(byte, 13)
+    out_byte = dyn_extension_round_with_markers(byte, marker, kmin=23)
+    out_packed = pd.pdyn_extension_round_with_markers(
+        pd.from_dyn(byte), marker, kmin=23, max_sub=94)
+    assert canon_rows(out_byte) == canon_rows(pd.to_dyn(out_packed))
