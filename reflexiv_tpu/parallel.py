@@ -321,6 +321,108 @@ def extension_round_sharded(
     return Records(out_seq, out_len, out_left, out_right, out_live), overflow
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "min_error", "mesh", "cap_factor")
+)
+def build_initial_records_sharded(
+    limbs: jnp.ndarray,   # (N, W) uint32, sharded over rows (count output)
+    counts: jnp.ndarray,  # (N,) int32
+    keep: jnp.ndarray,    # (N,) bool — unique solid k-mers
+    *,
+    k: int,
+    min_error: int,
+    mesh: Mesh,
+    cap_factor: int = 2,
+):
+    """Sharded RC expansion + both-direction fork filtering
+    (:func:`reflexiv_tpu.graph.build_initial_records` over the mesh).
+
+    Each pass routes rows to the hash owner of its group window (prefix,
+    then suffix) so equal-key rows meet on one shard, then runs the local
+    fork pass. The record set never leaves the devices. Returns
+    ``(seq, length, left, right, live, overflow)`` sharded over rows, plus
+    per-shard live counts for capacity planning.
+    """
+    from .bitpack import pack_bases, revcomp_bases, unpack_bases
+    from .graph import _fork_pass
+
+    n = mesh.devices.size
+    sub = k - 1
+
+    def local(limbs_s, counts_s, keep_s):
+        U = limbs_s.shape[0]
+        bases_f = unpack_bases(limbs_s, k)
+        bases_r = revcomp_bases(bases_f)
+        bases = jnp.concatenate([bases_f, bases_r], axis=0)
+        cover = jnp.concatenate([counts_s, counts_s], axis=0).astype(
+            jnp.int32)
+        valid = jnp.concatenate([keep_s, keep_s], axis=0)
+
+        def owner_of(window, salt):
+            key = pack_bases(window, sub)
+            h = mix32(key[:, 0] ^ jnp.uint32(salt))
+            for i in range(1, key.shape[1]):
+                h = mix32(h ^ key[:, i])
+            return (h % jnp.uint32(n)).astype(jnp.int32)
+
+        cap = max(1, cap_factor * 2 * U // n)
+        # pass 1: prefix groups -> right-end attr
+        owner1 = owner_of(bases[:, :sub], 0xB5297A4D)
+        (bases_1, cover_1), valid_1, ovf1 = _scatter_exchange(
+            (bases, cover), owner1, valid, n, cap)
+        b1, c1, win1, right1, _ = _fork_pass(
+            bases_1, cover_1, valid_1, lo=0, hi=sub, ext_col=k - 1,
+            min_error=min_error, blocked=sub,
+        )
+        # pass 2: suffix groups over pass-1 winners, right attr rides along
+        owner2 = owner_of(b1[:, 1:k], 0x68E31DA4)
+        (b1r, c1r, right1r), valid_2, ovf2 = _scatter_exchange(
+            (b1, c1, right1), owner2, win1, n, cap)
+        b2, c2, win2, left2, right2 = _fork_pass(
+            b1r, c1r, valid_2, lo=1, hi=k, ext_col=0,
+            min_error=min_error, blocked=sub, carry=right1r,
+        )
+        live = win2
+        length = jnp.where(live, k, 0).astype(jnp.int32)
+        n_live = jnp.sum(live.astype(jnp.int32))[None]
+        return (b2, length, left2, right2, live, (ovf1 + ovf2)[None],
+                n_live)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("shards"),) * 3,
+        out_specs=(P("shards"),) * 7,
+    )(limbs, counts, keep)
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap", "seq_cap", "mesh"))
+def compact_records_sharded(
+    seq, length, left, right, live, *, out_cap: int, seq_cap: int, mesh: Mesh
+):
+    """Per-shard compaction of record rows (live first) to a fixed capacity
+    ``out_cap`` per shard with byte sequences padded to ``seq_cap`` —
+    shrinks the window-scale fork-filter output to record scale without any
+    host round trip."""
+
+    def local(seq_s, len_s, left_s, right_s, live_s):
+        order = jnp.argsort(~live_s)
+        take = order[:out_cap]
+        s = seq_s[take]
+        if seq_cap > s.shape[1]:
+            s = jnp.pad(s, ((0, 0), (0, seq_cap - s.shape[1])))
+        lost = jnp.sum(live_s) - jnp.sum(live_s[take])
+        return (s, len_s[take], left_s[take], right_s[take], live_s[take],
+                lost[None])
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("shards"),) * 5,
+        out_specs=(P("shards"),) * 6,
+    )(seq, length, left, right, live)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "mesh", "cap_factor"))
 def finished_mask_sharded(
     p,  # packed.PackedRecords, arrays sharded over leading axis
@@ -453,19 +555,18 @@ def assemble_reads_sharded(
     seed: int = 0,
     cap_factor: int = 4,
 ):
-    """Full single-k assembly with mesh-sharded counting and extension.
+    """Full single-k assembly with mesh-sharded counting, graph
+    construction, and extension.
 
-    Counting and every extension round run under ``shard_map`` with
-    hash-routed ``all_to_all`` exchanges; graph construction (fork filters on
-    the deduplicated k-mer table — orders of magnitude smaller than the read
-    stream) runs single-device, mirroring the reference where the counted
-    table is already the shuffle-reduced dataset.
+    Every stage runs under ``shard_map`` with hash-routed ``all_to_all``
+    exchanges; the k-mer table and record set never leave the devices —
+    only per-shard live counts (for capacity planning) and the final
+    contigs reach the host.
     """
     import numpy as np_
 
-    from .assembler import initial_records_from_counts
     from .contigs import emit_contigs
-    from .records import next_pow2
+    from .records import Records, next_pow2
 
     n = mesh.devices.size
     R = bases.shape[0]
@@ -481,17 +582,29 @@ def assemble_reads_sharded(
         cap_factor=cap_factor,
     )
     assert int(jnp.sum(overflow)) == 0, "counting bucket overflow"
-    keep_np = np_.asarray(keep)
-    table = np_.asarray(limbs)[keep_np]
-    table_counts = np_.asarray(counts)[keep_np]
 
-    recs, n_live = initial_records_from_counts(table, table_counts, params)
+    seqg, leng, leftg, rightg, liveg, govf, shard_live = (
+        build_initial_records_sharded(
+            limbs, counts, keep, k=params.k,
+            min_error=params.min_error_coverage, mesh=mesh,
+            cap_factor=cap_factor,
+        )
+    )
+    assert int(jnp.sum(govf)) == 0, "fork-filter bucket overflow"
+    shard_live_np = np_.asarray(shard_live)
+    n_live = int(shard_live_np.sum())
 
-    # fixed per-shard capacity; seq capacity grows between jitted rounds
-    cap = max(next_pow2(n_live), n) * 2
-    cap = ((cap + n - 1) // n) * n
+    # per-shard capacity sized to the most loaded shard; seq capacity grows
+    # between jitted rounds
+    per_shard = max(next_pow2(int(shard_live_np.max()) or 1) * 2, 16)
+    cap = per_shard * n
     seq_cap = max(64, next_pow2(2 * params.k))
-    recs = _pad_rows(recs, cap, seq_cap)
+    seqc, lenc, leftc, rightc, livec, lost = compact_records_sharded(
+        seqg, leng, leftg, rightg, liveg,
+        out_cap=per_shard, seq_cap=seq_cap, mesh=mesh,
+    )
+    assert int(jnp.sum(lost)) == 0, "record compaction lost rows"
+    recs = Records(seqc, lenc, leftc, rightc, livec)
 
     from . import packed as pk
 

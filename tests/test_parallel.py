@@ -211,3 +211,50 @@ def test_dyn_sharded_overflow_retries(mesh, caplog):
     # group at most ~2 merges happened — anything lower means dropped rows
     assert live_out >= n - 4
     assert any("overflowed" in r.message for r in caplog.records)
+
+
+def test_sharded_fork_filter_matches_single_device(mesh):
+    import random
+    rng = random.Random(53)
+    from reflexiv_tpu.count import count_kmers
+    from reflexiv_tpu.graph import build_initial_records
+    from reflexiv_tpu.params import Params
+
+    _, reads = _reads(rng, genome_len=500, n_reads=200, read_len=50)
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    k = 17
+    params = Params(k=k, min_kmer_coverage=2)
+
+    # single-device oracle
+    limbs, counts = count_kmers(mat, lens, k=k, min_cov=2)
+    recs, _m = build_initial_records(
+        jnp.asarray(limbs), jnp.asarray(counts), k=k,
+        min_error=params.min_error_coverage)
+
+    def canon(recset):
+        seq = np.asarray(recset.seq)
+        out = []
+        for i in np.nonzero(np.asarray(recset.live))[0]:
+            out.append((bytes(seq[i, :k]), int(recset.left[i]),
+                        int(recset.right[i])))
+        return sorted(out)
+
+    # sharded: counting + fork filters on the mesh
+    n = mesh.devices.size
+    R = mat.shape[0]
+    R_pad = ((R + n - 1) // n) * n
+    bp = jnp.zeros((R_pad, mat.shape[1]), jnp.uint8).at[:R].set(
+        jnp.asarray(mat))
+    lp = jnp.zeros((R_pad,), jnp.int32).at[:R].set(jnp.asarray(lens))
+    sl, sc, sk_, ovf = parallel.count_kmers_sharded(
+        bp, lp, k=k, min_cov=2, mesh=mesh)
+    assert int(jnp.sum(ovf)) == 0
+    seqg, leng, leftg, rightg, liveg, govf, shard_live = (
+        parallel.build_initial_records_sharded(
+            sl, sc, sk_, k=k, min_error=params.min_error_coverage,
+            mesh=mesh)
+    )
+    assert int(jnp.sum(govf)) == 0
+    from reflexiv_tpu.records import Records
+    got = canon(Records(seqg, leng, leftg, rightg, liveg))
+    assert got == canon(recs)
