@@ -151,6 +151,40 @@ def sort_k_records(
     return bases, np.asarray(recs.left)[live], np.asarray(recs.right)[live]
 
 
+def sort_k_records_sharded(
+    bases_p: jnp.ndarray, lens_p: jnp.ndarray, k: int, params: Params, mesh,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Mesh-sharded counting + fork filtering for one k: the window-scale
+    work never reaches the host; only the compacted record set does.
+    ``bases_p``/``lens_p`` must already be padded to a mesh-divisible row
+    count."""
+    from .parallel import (build_initial_records_sharded,
+                           compact_records_sharded, count_kmers_sharded)
+    from .records import next_pow2
+
+    limbs, counts, keep, ovf = count_kmers_sharded(
+        bases_p, lens_p, k=k, min_cov=params.min_kmer_coverage,
+        max_cov=params.max_kmer_coverage, mesh=mesh,
+    )
+    assert int(jnp.sum(ovf)) == 0, "counting bucket overflow"
+    seqg, leng, leftg, rightg, liveg, govf, shard_live = (
+        build_initial_records_sharded(
+            limbs, counts, keep, k=k,
+            min_error=params.min_error_coverage, mesh=mesh,
+        )
+    )
+    assert int(jnp.sum(govf)) == 0, "fork-filter bucket overflow"
+    per_shard = max(next_pow2(int(np.asarray(shard_live).max()) or 1) * 2, 16)
+    seqc, lenc, leftc, rightc, livec, lost = compact_records_sharded(
+        seqg, leng, leftg, rightg, liveg,
+        out_cap=per_shard, seq_cap=seqg.shape[1], mesh=mesh,
+    )
+    assert int(jnp.sum(lost)) == 0
+    live = np.asarray(livec)
+    return (np.asarray(seqc)[live][:, :k], np.asarray(leftc)[live],
+            np.asarray(rightc)[live])
+
+
 # ---------------------------------------------------------------------------
 # pairwise reduction
 # ---------------------------------------------------------------------------
@@ -772,6 +806,16 @@ def assemble_dynamic(
         # count + sort each k; -accurate adds mercy k-mers per k
         # (Pipelines.java:1388-1391)
         sorted_sets = {}
+        bases_p = lens_p = None
+        if mesh is not None and not params.sensitive:
+            n_dev = mesh.devices.size
+            R = bases.shape[0]
+            R_pad = ((R + n_dev - 1) // n_dev) * n_dev
+            bases_p = jnp.zeros(
+                (R_pad, bases.shape[1]), jnp.uint8).at[:R].set(
+                jnp.asarray(bases))
+            lens_p = jnp.zeros((R_pad,), jnp.int32).at[:R].set(
+                jnp.asarray(lengths))
         for k in klist:
             if params.sensitive:
                 from .mercy import mercy_kmer_table
@@ -781,6 +825,10 @@ def assemble_dynamic(
                     min_cov=params.min_kmer_coverage,
                     max_cov=params.max_kmer_coverage,
                 )
+                sorted_sets[k] = sort_k_records(limbs, counts, k, params)
+            elif mesh is not None:
+                sorted_sets[k] = sort_k_records_sharded(
+                    bases_p, lens_p, k, params, mesh)
             else:
                 limbs, counts = count_kmers_auto(
                     bases, lengths, k=k,
@@ -788,9 +836,8 @@ def assemble_dynamic(
                     max_cov=params.max_kmer_coverage,
                     front_clip=params.front_clip, end_clip=params.end_clip,
                 )
-            sorted_sets[k] = sort_k_records(limbs, counts, k, params)
-            log.info("k=%d: %d solid k-mers, %d sorted records",
-                     k, len(counts), len(sorted_sets[k][0]))
+                sorted_sets[k] = sort_k_records(limbs, counts, k, params)
+            log.info("k=%d: %d sorted records", k, len(sorted_sets[k][0]))
         pool = records_from_sorted(
             [(b, l, r, k) for k, (b, l, r) in sorted_sets.items()]
         )
