@@ -103,8 +103,15 @@ def correct_reads(
     substitution making all its covering k-mers solid; ambiguous or
     uncorrectable positions are left untouched.
     Returns (corrected matrix, number of corrected bases).
+
+    The per-window solidity scan runs vectorized on-device (the mercy
+    count-lookup); Python only touches the flagged error positions (~error
+    rate x read volume, sparse).
     """
+    import jax.numpy as jnp
+
     from . import count as count_mod
+    from .mercy import lookup_counts
 
     limbs, counts = count_mod.count_kmers(mat, lens, k=k, min_cov=min_cov)
     if limbs.shape[1] > 2:
@@ -122,33 +129,41 @@ def correct_reads(
             rc = (rc << 2) | (3 ^ int(b))
         return min(v, rc)
 
+    # vectorized per-window solidity over the whole matrix
+    R, L = mat.shape
+    Wn = L - k + 1
+    q_limbs, q_valid = count_mod.extract_canonical_kmers(
+        jnp.asarray(mat), jnp.asarray(lens), k=k)
+    qc = lookup_counts(
+        jnp.asarray(limbs), jnp.asarray(counts), q_limbs, q_valid)
+    solid_w = (np.asarray(qc) > 0).reshape(R, Wn)
+    valid_w = np.asarray(q_valid).reshape(R, Wn)
+    solid_w &= valid_w
+    # position covered by a solid window <=> max-filter of width k over the
+    # window mask; windows exist for starts [0, Wn)
+    csum = np.zeros((R, Wn + 1), np.int32)
+    np.cumsum(solid_w, axis=1, out=csum[:, 1:])
+    has_weak = (valid_w & ~solid_w).any(axis=1)
+
     mat = mat.copy()
     n_fixed = 0
-    R = mat.shape[0]
-    for i in range(R):
+    for i in np.nonzero(has_weak)[0]:
         n = int(lens[i])
         if n < k + 1:
             continue
         read = mat[i, :n]
         W = n - k + 1
-        solid_mask = np.fromiter(
-            (canon_val(read[w: w + k]) in solid for w in range(W)),
-            bool, count=W,
-        )
-        if solid_mask.all():
-            continue
-        # positions covered by no solid window
-        cov = np.zeros(n, bool)
-        for w in np.nonzero(solid_mask)[0]:
-            cov[w: w + k] = True
-        for p in np.nonzero(~cov)[0]:
+        row = csum[i]
+        for p in range(n):
+            w_lo, w_hi = max(0, p - k + 1), min(W, p + 1)
+            if row[w_hi] - row[w_lo] > 0:
+                continue  # some covering window is solid
             orig = read[p]
             fixes = []
             for b in range(4):
                 if b == orig:
                     continue
                 read[p] = b
-                w_lo, w_hi = max(0, p - k + 1), min(W, p + 1)
                 if all(
                     canon_val(read[w: w + k]) in solid
                     for w in range(w_lo, w_hi)
