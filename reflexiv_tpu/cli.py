@@ -59,9 +59,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("-maxiter", type=int, default=150)
     p.add_argument("-miniter", type=int, default=15)
     p.add_argument("-bubble", action="store_true", default=True)
-    # clipping
+    # clipping / filtering
     p.add_argument("-clipf", type=int, default=0, help="front clip")
     p.add_argument("-clipe", type=int, default=0, help="end clip")
+    p.add_argument("-minlength", type=int, default=0,
+                   help="drop reads shorter than this")
     # misc
     p.add_argument("-gzip", action="store_true", help="gzip outputs")
     p.add_argument("-accurate", action="store_true",
@@ -92,6 +94,7 @@ def params_from_args(args: argparse.Namespace) -> Params:
         min_iterations=args.miniter,
         front_clip=args.clipf,
         end_clip=args.clipe,
+        min_read_length=args.minlength,
         input_fastq=fastq,
         input_fasta=args.fasta,
         input_kmer=args.kmerc,
@@ -105,12 +108,18 @@ def params_from_args(args: argparse.Namespace) -> Params:
 
 
 def _load_read_matrix(params: Params):
+    import numpy as np
+
     from .io import load_reads
 
     pattern = params.input_fastq or params.input_fasta
     if not pattern:
         raise SystemExit("error: provide -fastq or -fasta input")
-    return load_reads(pattern)
+    mat, lens = load_reads(pattern)
+    if params.min_read_length > 0:
+        keep = np.asarray(lens) >= params.min_read_length
+        mat, lens = mat[keep], lens[keep]
+    return mat, lens
 
 
 def cmd_counter(params: Params, seed: int) -> None:

@@ -1012,6 +1012,9 @@ def dynamic_assembly(params: Params, *, seed: int = 0) -> None:
 
         mesh = make_mesh(devices)
     mat, lens = load_reads(params.input_fastq or params.input_fasta)
+    if params.min_read_length > 0:
+        keep = np.asarray(lens) >= params.min_read_length
+        mat, lens = mat[keep], lens[keep]
     contigs = assemble_dynamic(
         mat, lens, params, seed=seed,
         workdir=os.path.join(params.output_path, "steps"), mesh=mesh,

@@ -43,9 +43,12 @@ class Params:
     max_iterations: int = 150         # DefaultParam.java:115
     min_iterations: int = 15          # DefaultParam.java:116
 
-    # read clipping
+    # read clipping / filtering
     front_clip: int = 0               # DefaultParam.java:120
     end_clip: int = 0                 # DefaultParam.java:121
+    min_read_length: int = 0          # -minlength (DefaultParam.java:103;
+                                      # parsed but unused in the reference —
+                                      # here: reads shorter are dropped)
 
     # IO
     input_fastq: Optional[str] = None

@@ -90,3 +90,37 @@ def test_count_kmers_rejects_over_2g_windows():
             np.zeros((2**26, 64), np.uint8),  # 2^26 * 34 windows > 2^31
             np.full(2**26, 64, np.int32), k=31, min_cov=2,
         )
+
+
+def test_minlength_filters_short_reads(tmp_path):
+    import random
+
+    import oracle
+    from reflexiv_tpu.cli import main as cli_main
+
+    rng = random.Random(5)
+    genome = "".join(rng.choice("ACGT") for _ in range(700))
+    fq = tmp_path / "reads.fq"
+    with open(fq, "w") as fh:
+        i = 0
+        for _ in range(10):
+            for s in range(0, 640, 20):
+                r = genome[s:s + 60]
+                fh.write(f"@r{i}\n{r}\n+\n{'I'*len(r)}\n")
+                i += 1
+        # junk short reads that would otherwise contribute noise k-mers
+        for _ in range(50):
+            r = "".join(rng.choice("ACGT") for _ in range(25))
+            fh.write(f"@junk{i}\n{r}\n+\n{'I'*len(r)}\n")
+            i += 1
+    out = tmp_path / "out"
+    rc = cli_main([
+        "run", "-fastq", str(fq), "-outfile", str(out),
+        "-kmer", "21", "-cover", "2", "-mincontig", "300",
+        "-minlength", "40",
+    ])
+    assert rc == 0
+    from reflexiv_tpu.io import iter_fasta
+
+    seqs = [s.decode() for _, s in iter_fasta([str(out / "part-00000")])]
+    assert any(len(s) >= 600 for s in seqs)
