@@ -237,10 +237,16 @@ def cmd_stitch(params: Params, seed: int) -> None:
 def _enable_compilation_cache() -> None:
     """Persist compiled executables across runs: the extension loop compiles
     one program per (rows, seq-length) capacity pair, which is expensive on
-    backends with slow (remote) compilation."""
+    backends with slow (remote) compilation.
+
+    TPU-only: XLA:CPU AOT artifacts bake in host CPU features, and loading a
+    cache entry written on a different machine type can SIGILL/segfault
+    (observed crashing inside backend_compile_and_load on this fleet)."""
     try:
         import jax
 
+        if jax.devices()[0].platform != "tpu":
+            return
         cache_dir = os.environ.get(
             "REFLEXIV_CACHE_DIR",
             os.path.join(os.path.expanduser("~"), ".cache", "reflexiv_tpu"),

@@ -19,3 +19,15 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """XLA:CPU's JIT segfaults when a long test process keeps compiling new
+    programs on top of ~100 accumulated executables (observed crashing in
+    backend_compile_and_load late in the suite). Dropping compiled programs
+    between modules keeps the compiler healthy at the cost of recompiles."""
+    yield
+    jax.clear_caches()
