@@ -21,7 +21,11 @@ strengthens the link model:
 
 Joins are sequence-level: a supported connection is executed only when the
 two end regions share an exact overlap (>= ``min_overlap``); otherwise the
-link is reported but not forced (2-bit sequences cannot carry N-gaps).
+link is reported but not forced. With ``scaffold=True`` an overlap-less
+supported link is instead executed as an N-gap scaffold join: the two ends
+are concatenated around ``max(gap_estimate, MIN_GAP_N)`` ``N`` characters.
+Scaffolded sequences exist only at this string/FASTA level — the 2-bit
+device pipeline never sees them (N has no 2-bit code).
 """
 from __future__ import annotations
 
@@ -39,6 +43,7 @@ SEED_K = 31
 MIN_LINKS = 2        # read pairs required to support a connection
 MIN_OVERLAP = 10     # exact end overlap required to execute a join
 DEFAULT_INSERT = 2 * END_WINDOW   # prior when no same-contig pairs exist
+MIN_GAP_N = 10       # scaffold joins always leave at least this many Ns
 
 
 def _end_index(
@@ -107,6 +112,7 @@ def patch_contigs(
     *,
     min_links: int = MIN_LINKS,
     min_overlap: int = MIN_OVERLAP,
+    scaffold: bool = False,
 ) -> Tuple[List[str], List[Tuple[int, int, int, int, int, int]]]:
     """Connect contigs supported by read-pair links.
 
@@ -114,6 +120,8 @@ def patch_contigs(
     ``(contig_a, end_a, contig_b, end_b, n_links, gap_estimate)`` for all
     supported connections, including those that could not be joined
     exactly). ``gap_estimate`` < 0 means the ends are expected to overlap.
+    With ``scaffold=True``, supported links lacking an exact overlap are
+    joined through a run of ``max(gap_estimate, MIN_GAP_N)`` Ns.
     """
     idx = _end_index(contigs)
     votes: Counter = Counter()
@@ -174,7 +182,7 @@ def patch_contigs(
     links = [(a[0], a[1], b[0], b[1], n, g) for a, b, n, g in supported]
     out = list(contigs)
     dead = set()
-    for (ca, ea), (cb, eb), _n, _g in supported:
+    for (ca, ea), (cb, eb), _n, g in supported:
         if ca in dead or cb in dead:
             continue
         # orient: join tail(a-oriented) -> head(b-oriented)
@@ -185,5 +193,10 @@ def patch_contigs(
             out[ca] = joined
             dead.add(cb)
             log.info("patching: joined contig %d and %d (overlap)", ca, cb)
+        elif scaffold:
+            out[ca] = sa + "N" * max(g, MIN_GAP_N) + sb
+            dead.add(cb)
+            log.info(
+                "patching: scaffolded contig %d and %d (gap %d)", ca, cb, g)
     result = [s for i, s in enumerate(out) if i not in dead]
     return result, links

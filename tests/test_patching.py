@@ -61,6 +61,24 @@ def test_patching_joins_reverse_oriented_contig():
     assert joined[0] in (genome, oracle.revcomp(genome))
 
 
+def test_patching_scaffolds_unjoinable_links_with_n_gap():
+    rng = random.Random(6)
+    genome = "".join(rng.choice("ACGT") for _ in range(1200))
+    a = genome[:580]
+    b = genome[620:]  # true 40 bp gap, no overlap
+    pairs = _pairs_from(genome, rng)
+    joined, links = patch_contigs([a, b], pairs, scaffold=True)
+    assert len(links) >= 1
+    assert len(joined) == 1
+    scaf = joined[0]
+    assert "N" in scaf
+    # the scaffold carries both contigs (some orientation) around one N run
+    left, _, right = scaf.partition("N" * 10)
+    right = right.lstrip("N")
+    assert {left, right} == {a, b} or \
+        {oracle.revcomp(left), oracle.revcomp(right)} == {a, b}
+
+
 def test_patching_gap_estimate_is_plausible():
     rng = random.Random(9)
     genome = "".join(rng.choice("ACGT") for _ in range(1200))
