@@ -41,11 +41,21 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("-inter", help="interleaved paired FASTQ file(s)")
     p.add_argument("-kmerc", help="counted k-mer CSV input (skip counting)")
     p.add_argument("-frag", help="pre-assembled contig/fragment FASTA")
+    p.add_argument("-contig", help="input contig FASTA (merger/stitch/"
+                   "reassembler; alias of -frag)")
     p.add_argument("-outfile", required=True, help="output directory")
+    p.add_argument("-infmt", default="auto",
+                   help="input compression format (reference: 4mc/gzip/"
+                        "bzip; here loaders sniff by extension)")
+    p.add_argument("-reads", type=int, default=0,
+                   help="use only the first N input reads (0 = all)")
     # k-mer geometry
     p.add_argument("-kmer", type=int, default=31, help="k-mer size (default 31)")
     p.add_argument("-klist", default=",".join(map(str, DEFAULT_KLIST)),
                    help="comma list of k sizes for dynamic assembly")
+    p.add_argument("-overlap", type=int, default=0,
+                   help="overlap between adjacent k-mers (parsed but unused "
+                        "by every reference pipeline; kept for parity)")
     # coverage
     p.add_argument("-cover", type=int, default=2,
                    help="min k-mer coverage (default 2)")
@@ -59,6 +69,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("-maxiter", type=int, default=150)
     p.add_argument("-miniter", type=int, default=15)
     p.add_argument("-bubble", action="store_true", default=True)
+    p.add_argument("-stitch", action="store_true",
+                   help="disable stitch k-mers (reference STITCH option "
+                        "is also a disable switch)")
     # clipping / filtering
     p.add_argument("-clipf", type=int, default=0, help="front clip")
     p.add_argument("-clipe", type=int, default=0, help="end clip")
@@ -69,6 +82,16 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("-accurate", action="store_true",
                    help="sensitive mode (mercy k-mers)")
     p.add_argument("-partition", type=int, default=0)
+    p.add_argument("-partitionredu", type=int, default=0,
+                   help="shuffle partition count (informational; sharding "
+                        "is mesh-driven)")
+    p.add_argument("-cache", action="store_true",
+                   help="cache intermediate data (informational; arrays "
+                        "stay device-resident)")
+    p.add_argument("-mode", default="", help="pipeline mode string")
+    p.add_argument("-sbin", default=None,
+                   help="external binary dir (reference-only: flash/"
+                        "minimap2 live in-process here; ignored)")
     p.add_argument("-seed", type=int, default=0,
                    help="orientation-draw seed (TPU build extra)")
 
@@ -95,31 +118,32 @@ def params_from_args(args: argparse.Namespace) -> Params:
         front_clip=args.clipf,
         end_clip=args.clipe,
         min_read_length=args.minlength,
+        read_limit=args.reads,
+        kmer_overlap=args.overlap,
+        stitch_kmer=not args.stitch,
         input_fastq=fastq,
         input_fasta=args.fasta,
         input_kmer=args.kmerc,
-        input_contig=args.frag,
+        input_contig=args.frag or args.contig,
         output_path=args.outfile,
         gzip_output=args.gzip,
         partitions=args.partition,
+        shuffle_partitions=args.partitionredu,
+        cache=args.cache,
         sensitive=args.accurate,
         interleaved=bool(args.inter),
+        input_format=args.infmt,
+        mode=args.mode,
     )
 
 
 def _load_read_matrix(params: Params):
-    import numpy as np
-
-    from .io import load_reads
+    from .io import load_reads_filtered
 
     pattern = params.input_fastq or params.input_fasta
     if not pattern:
         raise SystemExit("error: provide -fastq or -fasta input")
-    mat, lens = load_reads(pattern)
-    if params.min_read_length > 0:
-        keep = np.asarray(lens) >= params.min_read_length
-        mat, lens = mat[keep], lens[keep]
-    return mat, lens
+    return load_reads_filtered(pattern, params)
 
 
 def cmd_counter(params: Params, seed: int) -> None:

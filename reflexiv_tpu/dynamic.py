@@ -920,11 +920,12 @@ def assemble_dynamic(
 def dynamic_reduction(params: Params, *, seed: int = 0) -> None:
     """``reduce`` command: per-k count + sort + pairwise reduce, with
     ``_SUCCESS``-marker resume (cf. ``Pipelines.java:1315-1737``)."""
-    from .io import has_success_marker, load_reads
+    from .io import has_success_marker, load_reads_filtered
     from .kmer_io import write_count_table
 
     out = params.output_path
-    mat, lens = load_reads(params.input_fastq or params.input_fasta)
+    mat, lens = load_reads_filtered(
+        params.input_fastq or params.input_fasta, params)
     klist = sorted(k for k in params.klist if k + 2 < mat.shape[1])
     sorted_sets = {}
     for k in klist:
@@ -1003,7 +1004,8 @@ def read_sorted_set(pattern: str, k: int):
 def dynamic_assembly(params: Params, *, seed: int = 0) -> None:
     """``meta`` command driver: assemble + write contigs. Uses a device mesh
     for the extension/fixing rounds when several devices are present."""
-    from .io import load_reads, write_contigs_fasta, write_success_marker
+    from .io import (
+        load_reads_filtered, write_contigs_fasta, write_success_marker)
 
     devices = jax.devices()
     mesh = None
@@ -1011,10 +1013,8 @@ def dynamic_assembly(params: Params, *, seed: int = 0) -> None:
         from .parallel import make_mesh
 
         mesh = make_mesh(devices)
-    mat, lens = load_reads(params.input_fastq or params.input_fasta)
-    if params.min_read_length > 0:
-        keep = np.asarray(lens) >= params.min_read_length
-        mat, lens = mat[keep], lens[keep]
+    mat, lens = load_reads_filtered(
+        params.input_fastq or params.input_fasta, params)
     contigs = assemble_dynamic(
         mat, lens, params, seed=seed,
         workdir=os.path.join(params.output_path, "steps"), mesh=mesh,

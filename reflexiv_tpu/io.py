@@ -110,6 +110,19 @@ def load_reads(pattern: str) -> Tuple[np.ndarray, np.ndarray]:
     return reads_to_matrix(seqs)
 
 
+def load_reads_filtered(pattern: str, params) -> Tuple[np.ndarray, np.ndarray]:
+    """:func:`load_reads` + the shared input read filters: ``-minlength``
+    (drop short reads) and ``-reads`` (keep only the first N,
+    ``DefaultParam.java:72`` readLimit)."""
+    mat, lens = load_reads(pattern)
+    if params.min_read_length > 0:
+        keep = np.asarray(lens) >= params.min_read_length
+        mat, lens = mat[keep], lens[keep]
+    if params.read_limit > 0:
+        mat, lens = mat[: params.read_limit], lens[: params.read_limit]
+    return mat, lens
+
+
 def wrap_sequence(seq: str, width: int = 100) -> str:
     """100-column FASTA wrapping, as ``changeLine``
     (``ReflexivDSMain.java:773-794``)."""

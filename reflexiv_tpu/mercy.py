@@ -128,9 +128,10 @@ def mercy_assembly(params, *, seed: int = 0) -> None:
     solid+mercy table."""
     import os
     from .assembler import assemble_from_counts
-    from .io import load_reads, write_contigs_fasta, write_success_marker
+    from .io import load_reads_filtered, write_contigs_fasta, write_success_marker
 
-    mat, lens = load_reads(params.input_fastq or params.input_fasta)
+    mat, lens = load_reads_filtered(
+        params.input_fastq or params.input_fasta, params)
     limbs, counts = mercy_kmer_table(
         mat, lens, k=params.k, min_cov=params.min_kmer_coverage,
         max_cov=params.max_kmer_coverage,

@@ -49,6 +49,15 @@ class Params:
     min_read_length: int = 0          # -minlength (DefaultParam.java:103;
                                       # parsed but unused in the reference —
                                       # here: reads shorter are dropped)
+    read_limit: int = 0               # -reads (DefaultParam.java:72,
+                                      # readLimit): stop after N input reads;
+                                      # 0 = unlimited
+    kmer_overlap: int = 0             # -overlap (DefaultParam.java:102;
+                                      # parsed but unused by any reference
+                                      # pipeline — kept for CLI parity, 0 =
+                                      # the k-1 default)
+    stitch_kmer: bool = True          # -stitch disables stitch k-mer use
+                                      # (Parameter.java STITCH option)
 
     # IO
     input_fastq: Optional[str] = None
@@ -60,9 +69,16 @@ class Params:
 
     # execution
     partitions: int = 0               # informational; sharding is mesh-driven
+    shuffle_partitions: int = 0       # -partitionredu (Spark shuffle width;
+                                      # informational here)
     cache: bool = False
     sensitive: bool = False           # -accurate: enables mercy k-mers
     interleaved: bool = False         # -inter: consecutive records are mates
+    input_format: str = "auto"        # -infmt (DefaultParam.java:70: 4mc/
+                                      # gzip/bzip; here: loaders sniff by
+                                      # extension, value informational)
+    mode: str = ""                    # -mode (free-form string in the
+                                      # reference; informational)
 
     @property
     def sub_k(self) -> int:

@@ -137,7 +137,7 @@ def reassemble_arrays(
 def reassemble(params: Params, *, seed: int = 0) -> None:
     """CLI driver for the ``reassembler`` command
     (cf. ``Pipelines.reflexivDSReAssemblerPipe``, ``Pipelines.java:182-206``)."""
-    from .io import (expand_paths, iter_fasta, load_reads,
+    from .io import (expand_paths, iter_fasta, load_reads_filtered,
                      write_contigs_fasta, write_success_marker)
 
     if not params.input_contig:
@@ -145,7 +145,8 @@ def reassemble(params: Params, *, seed: int = 0) -> None:
     fragments = [
         s.decode() for _, s in iter_fasta(expand_paths(params.input_contig))
     ]
-    mat, lens = load_reads(params.input_fastq or params.input_fasta)
+    mat, lens = load_reads_filtered(
+        params.input_fastq or params.input_fasta, params)
     contigs = reassemble_arrays(mat, lens, fragments, params, seed=seed)
     out_dir = os.path.join(params.output_path, f"Assemble_{params.k}")
     write_contigs_fasta(os.path.join(out_dir, "part-00000"), contigs,

@@ -60,7 +60,7 @@ def stitch_contigs(
 
 def stitch(params: Params, *, seed: int = 0) -> None:
     """CLI driver for ``stitch``: requires -fastq reads and -frag contigs."""
-    from .io import (expand_paths, iter_fasta, load_reads,
+    from .io import (expand_paths, iter_fasta, load_reads_filtered,
                      write_contigs_fasta, write_success_marker)
 
     if not params.input_contig:
@@ -68,7 +68,8 @@ def stitch(params: Params, *, seed: int = 0) -> None:
     contigs = [
         s.decode() for _, s in iter_fasta(expand_paths(params.input_contig))
     ]
-    mat, lens = load_reads(params.input_fastq or params.input_fasta)
+    mat, lens = load_reads_filtered(
+        params.input_fastq or params.input_fasta, params)
     stitched = stitch_contigs(mat, lens, contigs, params, seed=seed)
     out_dir = os.path.join(
         params.output_path, f"Assembly_stitched_{STITCH_KLIST[-1]}"

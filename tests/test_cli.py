@@ -124,3 +124,57 @@ def test_minlength_filters_short_reads(tmp_path):
 
     seqs = [s.decode() for _, s in iter_fasta([str(out / "part-00000")])]
     assert any(len(s) >= 600 for s in seqs)
+
+
+def test_reads_limit_and_parity_flags_parse(tmp_path):
+    """-reads truncates the input; the reference-parity flags (-overlap,
+    -stitch, -infmt, -mode, -cache, -sbin, -partitionredu, -contig) are
+    accepted (Parameter.java:68-104 option surface)."""
+    import random
+
+    from reflexiv_tpu.cli import main as cli_main, params_from_args
+    import argparse
+
+    rng = random.Random(11)
+    genome = "".join(rng.choice("ACGT") for _ in range(500))
+    fq = tmp_path / "reads.fq"
+    with open(fq, "w") as fh:
+        i = 0
+        for _ in range(8):
+            for s in range(0, 440, 20):
+                r = genome[s:s + 60]
+                fh.write(f"@r{i}\n{r}\n+\n{'I'*len(r)}\n")
+                i += 1
+    out = tmp_path / "cnt"
+    rc = cli_main([
+        "counter", "-fastq", str(fq), "-outfile", str(out),
+        "-kmer", "21", "-cover", "1", "-reads", "4",
+        "-overlap", "20", "-stitch", "-infmt", "gzip", "-mode", "fast",
+        "-cache", "-sbin", "/usr/bin", "-partitionredu", "8",
+    ])
+    assert rc == 0
+    # only the first 4 reads contribute: <= 4*(60-21+1) distinct k-mers
+    n_lines = 0
+    import gzip, glob, os as _os
+    for p in glob.glob(str(out / "Count_21" / "part-*")):
+        op = gzip.open if p.endswith(".gz") else open
+        with op(p, "rt") as fh:
+            n_lines += sum(1 for _ in fh)
+    assert 0 < n_lines <= 4 * 40
+
+    # params plumbing for the parity flags
+    from reflexiv_tpu.params import Params
+    ns = argparse.Namespace(
+        fastq=str(fq), fasta=None, paired=None, single=None, inter=None,
+        kmerc=None, frag=None, contig="c.fa", outfile=str(out),
+        infmt="gzip", reads=4, kmer=21, klist="21,31", overlap=20,
+        cover=1, maxcov=100, error=None, mincontig=300, maxiter=10,
+        miniter=2, bubble=True, stitch=True, clipf=0, clipe=0,
+        minlength=0, gzip=False, accurate=False, partition=2,
+        partitionredu=8, cache=True, mode="fast", sbin=None, seed=0,
+    )
+    p = params_from_args(ns)
+    assert p.read_limit == 4 and p.kmer_overlap == 20
+    assert p.stitch_kmer is False and p.cache is True
+    assert p.input_contig == "c.fa" and p.shuffle_partitions == 8
+    assert p.input_format == "gzip" and p.mode == "fast"
