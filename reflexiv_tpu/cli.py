@@ -81,6 +81,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("-gzip", action="store_true", help="gzip outputs")
     p.add_argument("-accurate", action="store_true",
                    help="sensitive mode (mercy k-mers)")
+    p.add_argument("-patch", action="store_true",
+                   help="meta: enable the read-pair contig connection "
+                        "stage (the reference ships it disabled)")
+    p.add_argument("-scaffold", action="store_true",
+                   help="meta: with -patch, execute overlap-less supported "
+                        "links as N-gap scaffolds (implies -patch)")
     p.add_argument("-partition", type=int, default=0)
     p.add_argument("-partitionredu", type=int, default=0,
                    help="shuffle partition count (informational; sharding "
@@ -134,6 +140,8 @@ def params_from_args(args: argparse.Namespace) -> Params:
         interleaved=bool(args.inter),
         input_format=args.infmt,
         mode=args.mode,
+        patch=args.patch or args.scaffold,
+        scaffold=args.scaffold,
     )
 
 

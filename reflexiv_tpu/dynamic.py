@@ -1019,6 +1019,17 @@ def dynamic_assembly(params: Params, *, seed: int = 0) -> None:
         mat, lens, params, seed=seed,
         workdir=os.path.join(params.output_path, "steps"), mesh=mesh,
     )
+    if params.patch or params.scaffold:
+        from .patching import apply_patching
+
+        contigs, links = apply_patching(contigs, params)
+        if links:
+            ldir = os.path.join(params.output_path, "04Patching")
+            os.makedirs(ldir, exist_ok=True)
+            with open(os.path.join(ldir, "links.tsv"), "w") as fh:
+                fh.write("contig_a\tend_a\tcontig_b\tend_b\tn_links\tgap\n")
+                for row in links:
+                    fh.write("\t".join(str(x) for x in row) + "\n")
     out_dir = os.path.join(params.output_path, "Assembly")
     write_contigs_fasta(
         os.path.join(out_dir, "part-00000"), contigs,

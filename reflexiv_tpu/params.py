@@ -77,6 +77,12 @@ class Params:
     input_format: str = "auto"        # -infmt (DefaultParam.java:70: 4mc/
                                       # gzip/bzip; here: loaders sniff by
                                       # extension, value informational)
+    patch: bool = False               # -patch: read-pair contig connection
+                                      # stage (reference ships it disabled,
+                                      # Pipelines.java:1203-1229)
+    scaffold: bool = False            # -scaffold: also execute overlap-less
+                                      # supported links as N-gap scaffolds
+                                      # (implies -patch)
     mode: str = ""                    # -mode (free-form string in the
                                       # reference; informational)
 

@@ -106,6 +106,57 @@ def estimate_insert(samples: List[int]) -> Tuple[int, int]:
     return med, mad
 
 
+def read_pairs_from_params(params) -> List[Tuple[str, str]]:
+    """Recover mate pairs from the command's read input, using the same
+    pairing rules as preprocess (``ReflexivDataFrameDecompresser``):
+    ``-inter`` pairs consecutive records; an exactly-two-file input pairs
+    file1[i] with file2[i]. Anything else is unpaired -> []."""
+    from .io import expand_paths, iter_fastq
+
+    if not params.input_fastq:
+        return []
+    paths = expand_paths(params.input_fastq)
+    if params.interleaved:
+        rs = [r.decode() for r in iter_fastq(paths)]
+        return list(zip(rs[0::2], rs[1::2]))
+    if len(paths) == 2:
+        r1 = [r.decode() for r in iter_fastq([paths[0]])]
+        r2 = [r.decode() for r in iter_fastq([paths[1]])]
+        if len(r1) != len(r2):
+            log.warning(
+                "patching: two input files with unequal read counts "
+                "(%d vs %d) — not treating as mate pair", len(r1), len(r2))
+            return []
+        return list(zip(r1, r2))
+    return []
+
+
+def apply_patching(contigs, params):
+    """Patching stage over emitted ``(header, seq)`` contigs: recover mate
+    pairs from the input reads, vote for connections, join/scaffold.
+
+    Returns (contigs, link table). A no-op (with a log line) when the input
+    is not paired. The reference wires this stage into its steps pipe but
+    ships it disabled (``Pipelines.java:1203-1229``); here it is the opt-in
+    ``-patch``/``-scaffold`` stage of ``meta``.
+    """
+    pairs = read_pairs_from_params(params)
+    if not pairs:
+        log.info("patching: input is not paired; stage skipped")
+        return list(contigs), []
+    seqs = [s for _, s in contigs]
+    patched, links = patch_contigs(
+        seqs, pairs, scaffold=getattr(params, "scaffold", False))
+    out = [
+        (f">Contig-{len(s)}-(0,0)-{i}", s) for i, s in enumerate(patched)
+    ]
+    log.info(
+        "patching: %d contigs -> %d (%d supported links)",
+        len(seqs), len(out), len(links),
+    )
+    return out, links
+
+
 def patch_contigs(
     contigs: List[str],
     pairs: List[Tuple[str, str]],

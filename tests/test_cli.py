@@ -172,9 +172,11 @@ def test_reads_limit_and_parity_flags_parse(tmp_path):
         miniter=2, bubble=True, stitch=True, clipf=0, clipe=0,
         minlength=0, gzip=False, accurate=False, partition=2,
         partitionredu=8, cache=True, mode="fast", sbin=None, seed=0,
+        patch=False, scaffold=True,
     )
     p = params_from_args(ns)
     assert p.read_limit == 4 and p.kmer_overlap == 20
     assert p.stitch_kmer is False and p.cache is True
     assert p.input_contig == "c.fa" and p.shuffle_partitions == 8
     assert p.input_format == "gzip" and p.mode == "fast"
+    assert p.patch is True and p.scaffold is True  # -scaffold implies -patch

@@ -89,3 +89,55 @@ def test_patching_gap_estimate_is_plausible():
     assert len(links) == 1
     gap = links[0][5]
     assert -40 <= gap <= 140, gap  # estimate brackets the 40 bp truth
+
+
+def test_read_pairs_from_params(tmp_path):
+    from reflexiv_tpu.params import Params
+    from reflexiv_tpu.patching import read_pairs_from_params
+
+    def write_fq(path, reads):
+        with open(path, "w") as fh:
+            for i, r in enumerate(reads):
+                fh.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+
+    # two-file mate pairing: file1[i] with file2[i]
+    write_fq(tmp_path / "m1.fq", ["ACGTACGT", "GGGGCCCC"])
+    write_fq(tmp_path / "m2.fq", ["TTTTAAAA", "CACACACA"])
+    p = Params(input_fastq=f"{tmp_path}/m1.fq,{tmp_path}/m2.fq")
+    assert read_pairs_from_params(p) == [
+        ("ACGTACGT", "TTTTAAAA"), ("GGGGCCCC", "CACACACA")]
+
+    # interleaved: consecutive records are mates
+    write_fq(tmp_path / "il.fq",
+             ["ACGTACGT", "TTTTAAAA", "GGGGCCCC", "CACACACA"])
+    p = Params(input_fastq=str(tmp_path / "il.fq"), interleaved=True)
+    assert read_pairs_from_params(p) == [
+        ("ACGTACGT", "TTTTAAAA"), ("GGGGCCCC", "CACACACA")]
+
+    # single file, not interleaved -> unpaired
+    p = Params(input_fastq=str(tmp_path / "il.fq"))
+    assert read_pairs_from_params(p) == []
+
+
+def test_apply_patching_scaffolds_meta_contigs(tmp_path):
+    from reflexiv_tpu.params import Params
+    from reflexiv_tpu.patching import apply_patching
+
+    rng = random.Random(6)
+    genome = "".join(rng.choice("ACGT") for _ in range(1200))
+    a, b = genome[:580], genome[620:]
+    pairs = _pairs_from(genome, rng)
+    m1 = tmp_path / "m1.fq"
+    m2 = tmp_path / "m2.fq"
+    with open(m1, "w") as f1, open(m2, "w") as f2:
+        for i, (r1, r2) in enumerate(pairs):
+            f1.write(f"@p{i}/1\n{r1}\n+\n{'I' * len(r1)}\n")
+            f2.write(f"@p{i}/2\n{r2}\n+\n{'I' * len(r2)}\n")
+    params = Params(
+        input_fastq=f"{m1},{m2}", patch=True, scaffold=True)
+    contigs = [(">Contig-580-(0,0)-0", a), (">Contig-580-(0,0)-1", b)]
+    out, links = apply_patching(contigs, params)
+    assert len(links) >= 1
+    assert len(out) == 1
+    header, seq = out[0]
+    assert header.startswith(">Contig-") and "N" in seq
