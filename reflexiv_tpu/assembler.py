@@ -99,6 +99,17 @@ def _run_extension_loop_packed(
         else:
             stable_rounds = 0
             prev_count = n
+        # exact-termination census (the head/tail partner census as the stop
+        # rule): once the live count has been stable for 3 rounds — the
+        # reference's check cadence, ReflexivDSMain.java:297-326 — ask
+        # whether ANY live record still has a potential partner; none left
+        # means no future round can merge, so stop exactly. The 12-stable
+        # fallback covers self-partnered keys (circular/repeat ends) that
+        # keep the census non-empty without ever merging.
+        if stable_rounds >= 3 and stable_rounds % 3 == 0:
+            fin = _np.asarray(pk.finished_mask_packed(p, k))
+            if int(fin.sum()) == n:
+                break
         if it >= params.min_iterations and stable_rounds >= 12:
             break
         if it % 8 == 0 and it >= 8:
@@ -143,6 +154,13 @@ def _run_extension_loop_bytes(
         else:
             stable_rounds = 0
             prev_count = n
+        # exact-termination census (see _run_extension_loop_packed)
+        if stable_rounds >= 3 and stable_rounds % 3 == 0:
+            import numpy as _np
+
+            fin = _np.asarray(extend_mod.finished_mask(recs, k))
+            if int(fin.sum()) == n:
+                break
         if it >= params.min_iterations and stable_rounds >= 12:
             break
         # park finished records (extendability prefilter,

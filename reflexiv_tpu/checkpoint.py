@@ -73,6 +73,34 @@ def load_contigs(workdir: str, stage: str) -> List[str]:
         return [line.strip() for line in fh if line.strip()]
 
 
+def save_contigs_attrs(workdir: str, stage: str, contigs) -> None:
+    """Contigs with (left, right) attrs: ``left<TAB>right<TAB>seq`` lines."""
+    d = stage_dir(workdir, stage)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "contigs.txt"), "w") as fh:
+        for s, l, r in contigs:
+            fh.write(f"{l}\t{r}\t{s}\n")
+    write_success_marker(d)
+    log.info("checkpoint: wrote stage %s", stage)
+
+
+def load_contigs_attrs(workdir: str, stage: str):
+    """Read contigs back as (seq, left, right); attr-less rows (the round-1
+    checkpoint format) default to (0, 0)."""
+    out = []
+    with open(os.path.join(stage_dir(workdir, stage), "contigs.txt")) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            if "\t" in line:
+                l, r, s = line.split("\t", 2)
+                out.append((s, int(l), int(r)))
+            else:
+                out.append((line, 0, 0))
+    return out
+
+
 def latest_stage(workdir: str, stages: Tuple[str, ...] = META_STAGES) -> Optional[str]:
     """Newest stage with a ``_SUCCESS`` marker, scanning backwards
     (``checkStepsForDynamicAssemblyPipe``)."""

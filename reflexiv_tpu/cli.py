@@ -295,6 +295,17 @@ def main(argv=None) -> int:
         level=logging.INFO,
         format="Reflexiv %(asctime)s %(message)s", datefmt="%H:%M:%S",
     )
+    # honor JAX_PLATFORMS even where a sitecustomize pins its own platform
+    # list after reading the env (observed on this fleet: the env var alone
+    # is silently overridden; re-apply it through jax.config)
+    plats = os.environ.get("JAX_PLATFORMS")
+    if plats:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plats)
+        except Exception:  # noqa: BLE001 — leave the default platform
+            pass
     _enable_compilation_cache()
     parser = argparse.ArgumentParser(
         prog="reflexiv-tpu",

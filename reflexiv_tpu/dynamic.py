@@ -144,7 +144,7 @@ def sort_k_records(
     """
     recs, _marker = build_initial_records(
         jnp.asarray(kmer_limbs), jnp.asarray(counts), k=k,
-        min_error=params.min_error_coverage,
+        min_error=params.min_error_for_k(k),
     )
     live = np.asarray(recs.live)
     bases = np.asarray(recs.seq)[live][:, :k]
@@ -170,7 +170,7 @@ def sort_k_records_sharded(
     seqg, leng, leftg, rightg, liveg, govf, shard_live = (
         build_initial_records_sharded(
             limbs, counts, keep, k=k,
-            min_error=params.min_error_coverage, mesh=mesh,
+            min_error=params.min_error_for_k(k), mesh=mesh,
         )
     )
     assert int(jnp.sum(govf)) == 0, "fork-filter bucket overflow"
@@ -570,6 +570,13 @@ def run_dyn_extension(
                 stable += 1
             else:
                 stable, prev = 0, n
+            # exact stop: no live record has a potential partner left (see
+            # assembler._run_extension_loop_packed); the global census runs
+            # only on stable rounds so its gather cost is rare
+            if stable >= 3 and stable % 3 == 0:
+                fin = int(jnp.sum(pd.finished_mask_pdyn(p, kmin)))
+                if fin == n:
+                    break
             if it >= params.min_iterations and stable >= 12:
                 break
             it += 1
@@ -588,6 +595,11 @@ def run_dyn_extension(
             stable += 1
         else:
             stable, prev = 0, n
+        # exact stop (see assembler._run_extension_loop_packed)
+        if stable >= 3 and stable % 3 == 0:
+            fin_n = int(jnp.sum(pd.finished_mask_pdyn(p, kmin)))
+            if fin_n == n:
+                break
         if it >= params.min_iterations and stable >= 12:
             break
         # park finished records off the per-round sort volume (conservative
@@ -878,21 +890,25 @@ def assemble_dynamic(
         for i in np.nonzero(live)[0]:
             if left[i] <= REPEAT_KILLED and right[i] <= REPEAT_KILLED:
                 continue
-            raw.append(decode_to_str(seq[i, :length[i]]))
-        raw = [s for s in raw if len(s) >= params.min_contig]
+            if length[i] < params.min_contig:
+                continue
+            raw.append((decode_to_str(seq[i, :length[i]]),
+                        int(left[i]), int(right[i])))
 
         # fixing pass 2 (ReflexivDSDynamicKmerFixing/-RoundTwo): re-count
         # fixed 31-mers from the reads, fork-filter, and extend the contig
         # fragments through the read graph — our reassembly machinery is
         # exactly this semantics
         import dataclasses as _dc
-        from .reassemble import reassemble_arrays
+        from .reassemble import parse_contig_attrs, reassemble_arrays
 
         kfix = min(31, kmin)
         fix_params = _dc.replace(params, k=kfix)
         raw = [
-            s for _, s in reassemble_arrays(
-                bases, lengths, raw, fix_params, seed=seed + 2000)
+            (s,) + parse_contig_attrs(h)
+            for h, s in reassemble_arrays(
+                bases, lengths, [s for s, _, _ in raw], fix_params,
+                seed=seed + 2000)
         ]
 
         # contig-end read-consensus extension (the 07EndExtend stage;
@@ -901,15 +917,24 @@ def assemble_dynamic(
         # code matrix, no per-read string materialization
         from .mapping import end_extend_arrays
 
-        raw = end_extend_arrays(raw, bases, lengths)
-        deduped = dedup_contigs(raw)
+        exts = end_extend_arrays(
+            [s for s, _, _ in raw], bases, lengths)
+        raw = [(s2, l, r) for s2, (_s, l, r) in zip(exts, raw)]
+        attrs = {s: (l, r) for s, l, r in raw}
+        deduped = [
+            (s,) + attrs.get(s, (0, 0))
+            for s in dedup_contigs([s for s, _, _ in raw])
+        ]
         if workdir:
-            ckpt.save_contigs(workdir, "04contigs", deduped)
+            ckpt.save_contigs_attrs(workdir, "04contigs", deduped)
     else:
-        deduped = ckpt.load_contigs(workdir, "04contigs")
+        deduped = ckpt.load_contigs_attrs(workdir, "04contigs")
 
+    # ID format parity with TagRowContigID/DSKmerToContig
+    # (ReflexivDSMain.java:715-795): >Contig-<len>-(<left>,<right>)-<idx>
     return [
-        (f">Contig-{len(s)}-{i}", s) for i, s in enumerate(deduped)
+        (f">Contig-{len(s)}-({l},{r})-{i}", s)
+        for i, (s, l, r) in enumerate(deduped)
     ]
 
 
@@ -919,39 +944,88 @@ def assemble_dynamic(
 
 def dynamic_reduction(params: Params, *, seed: int = 0) -> None:
     """``reduce`` command: per-k count + sort + pairwise reduce, with
-    ``_SUCCESS``-marker resume (cf. ``Pipelines.java:1315-1737``)."""
+    per-artifact ``_SUCCESS``-marker resume (cf. ``Pipelines.java:1315-1737``).
+
+    Resume semantics mirror the reference ladder (``Pipelines.java:1368-1571``):
+      * ``Count_<k>_sorted/_SUCCESS`` present -> skip counting AND sorting k,
+        read the table back;
+      * else ``Count_<k>/_SUCCESS`` present -> skip counting, re-sort;
+      * ``Count_<k1>_reduced/_SUCCESS`` present -> skip the (k1,k2) pair
+        reduction, load both sides back;
+      * a completed ``Count_<k>_sorted`` eagerly deletes the superseded
+        ``Count_<k>`` directory ("Removing : Count_<k>",
+        ``Pipelines.java:1425-1436``).
+    With ``-accurate`` the per-k counting adds mercy k-mers
+    (``Pipelines.java:1388-1391``).
+    """
+    import shutil as _sh
+
     from .io import has_success_marker, load_reads_filtered
-    from .kmer_io import write_count_table
+    from .kmer_io import read_count_table, write_count_table
 
     out = params.output_path
     mat, lens = load_reads_filtered(
         params.input_fastq or params.input_fasta, params)
+
+    def reads():
+        return mat, lens
+
     klist = sorted(k for k in params.klist if k + 2 < mat.shape[1])
     sorted_sets = {}
     for k in klist:
-        limbs, counts = count_kmers_auto(
-            mat, lens, k=k, min_cov=params.min_kmer_coverage,
-            max_cov=params.max_kmer_coverage,
-        )
+        sdir = os.path.join(out, f"Count_{k}_sorted")
         cdir = os.path.join(out, f"Count_{k}")
-        if not has_success_marker(cdir):
+        if has_success_marker(sdir):
+            log.info("k=%d: Count_%d_sorted exists; skipping count+sort",
+                     k, k)
+            sorted_sets[k] = read_sorted_set(sdir, k)
+            continue
+        if has_success_marker(cdir):
+            log.info("k=%d: Count_%d exists; skipping counting", k, k)
+            limbs, counts = read_count_table(cdir, k)
+        elif params.sensitive:
+            # mercy k-mers enter the ladder per-k (Pipelines.java:1388-1391)
+            from .mercy import mercy_kmer_table
+
+            m, l = reads()
+            limbs, counts = mercy_kmer_table(
+                m, l, k=k, min_cov=params.min_kmer_coverage,
+                max_cov=params.max_kmer_coverage,
+            )
+            write_count_table(cdir, limbs, counts, k)
+        else:
+            m, l = reads()
+            limbs, counts = count_kmers_auto(
+                m, l, k=k, min_cov=params.min_kmer_coverage,
+                max_cov=params.max_kmer_coverage,
+                front_clip=params.front_clip, end_clip=params.end_clip,
+            )
             write_count_table(cdir, limbs, counts, k)
         sorted_sets[k] = sort_k_records(limbs, counts, k, params)
-        _write_sorted_set(os.path.join(out, f"Count_{k}_sorted"),
-                          sorted_sets[k], k)
+        _write_sorted_set(sdir, sorted_sets[k], k)
+        if os.path.isdir(cdir):
+            _sh.rmtree(cdir)
     for k1, k2 in zip(klist, klist[1:]):
+        rdir = os.path.join(out, f"Count_{k1}_reduced")
+        if has_success_marker(rdir):
+            log.info("reduce %d vs %d: Count_%d_reduced exists; skipping",
+                     k1, k2, k1)
+            sorted_sets[k1] = read_sorted_set(rdir, k1)
+            sorted_sets[k2] = read_sorted_set(
+                os.path.join(out, f"Count_{k2}_sorted"), k2)
+            continue
         shorts, longs = reduce_k_pair(sorted_sets[k1], sorted_sets[k2], k1, k2)
         sorted_sets[k1] = shorts
         sorted_sets[k2] = longs
-        _write_sorted_set(os.path.join(out, f"Count_{k1}_reduced"),
-                          shorts, k1)
+        _write_sorted_set(rdir, shorts, k1)
         # the adjusted longer-k set replaces its _sorted table mid-ladder,
         # exactly like ReflexivDSDynamicKmerRuduction's k2 rewrite
         # (Pipelines.java:257-283 / Ruduction.java:244-283)
         _write_sorted_set(os.path.join(out, f"Count_{k2}_sorted"),
                           longs, k2)
-    _write_sorted_set(os.path.join(out, f"Count_{klist[-1]}_reduced"),
-                      sorted_sets[klist[-1]], klist[-1])
+    last = os.path.join(out, f"Count_{klist[-1]}_reduced")
+    if not has_success_marker(last):
+        _write_sorted_set(last, sorted_sets[klist[-1]], klist[-1])
     log.info("reduction complete: %s", ", ".join(
         f"k{k}={len(v[0])}" for k, v in sorted_sets.items()))
 

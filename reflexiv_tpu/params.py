@@ -91,6 +91,14 @@ class Params:
         """Sub-kmer size (k-1), the sort key width. DefaultParam.java:75."""
         return self.k - 1
 
+    def min_error_for_k(self, k: int) -> int:
+        """k-dependent error-coverage threshold used by the dynamic ladder:
+        the reference drops ``minErrorCoverage`` to 3x the configured cover
+        for k >= 61 before sorting that k (``Pipelines.java:1413-1417``)."""
+        if k >= 61:
+            return 3 * self.min_kmer_coverage
+        return self.min_error_coverage
+
     def with_cover(self, cover: int) -> "Params":
         return dataclasses.replace(self, min_kmer_coverage=cover)
 

@@ -130,8 +130,30 @@ def reassemble_arrays(
     recs = inject_fragments(recs, fragments, params.k)
     recs = run_extension_loop(recs, params, seed=seed)
     contigs = emit_contigs(recs, min_contig=params.min_contig)
+    # containment dedup preserves sequences verbatim, so record attrs survive
+    # by lookup; ID format parity with TagRowContigID
+    # (ReflexivDSMain.java:715-795): >Contig-<len>-(<left>,<right>)-<idx>
+    attrs = {s: parse_contig_attrs(h) for h, s in contigs}
     deduped = dedup_contigs([s for _, s in contigs])
-    return [(f">Contig-{len(s)}-{i}", s) for i, s in enumerate(deduped)]
+    out = []
+    for i, s in enumerate(deduped):
+        l, r = attrs.get(s, (0, 0))
+        out.append((f">Contig-{len(s)}-({l},{r})-{i}", s))
+    return out
+
+
+def parse_contig_attrs(header: str) -> Tuple[int, int]:
+    """Extract the (left, right) attribute pair from a contig header of the
+    form ``>Contig-<len>-(<left>,<right>)-<idx>``; (0, 0) when absent."""
+    lo = header.find("(")
+    hi = header.find(")")
+    if lo < 0 or hi < lo:
+        return (0, 0)
+    l, _, r = header[lo + 1: hi].partition(",")
+    try:
+        return (int(l), int(r))
+    except ValueError:
+        return (0, 0)
 
 
 def reassemble(params: Params, *, seed: int = 0) -> None:

@@ -23,6 +23,14 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Every test not explicitly marked slow belongs to the quick tier, so
+    `pytest -m quick` is the fast inner-loop suite."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_between_modules():
     """XLA:CPU's JIT segfaults when a long test process keeps compiling new

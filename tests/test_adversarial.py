@@ -51,6 +51,7 @@ def _assert_locally_consistent(contigs, genome, k):
                 f"invented k-mer at {i} in contig of length {len(s)}")
 
 
+@pytest.mark.slow
 def test_exact_repeat_stays_locally_consistent():
     rng = random.Random(13)
     unique1 = "".join(rng.choice("ACGT") for _ in range(400))
@@ -69,6 +70,7 @@ def test_exact_repeat_stays_locally_consistent():
     assert total >= 1200  # most of the 1800bp genome recovered
 
 
+@pytest.mark.slow
 def test_snp_bubble_resolves_to_dominant_allele():
     rng = random.Random(17)
     left = "".join(rng.choice("ACGT") for _ in range(300))
@@ -87,6 +89,7 @@ def test_snp_bubble_resolves_to_dominant_allele():
     assert len(c) >= 550
 
 
+@pytest.mark.slow
 def test_one_percent_error_rate():
     rng = random.Random(29)
     genome = "".join(rng.choice("ACGT") for _ in range(800))

@@ -21,6 +21,7 @@ def _reads(rng, genome, n=260, rl=60):
     return reads
 
 
+@pytest.mark.slow
 def test_meta_checkpoints_and_resume(tmp_path):
     rng = random.Random(67)
     genome = "".join(rng.choice("ACGT") for _ in range(400))
@@ -62,6 +63,7 @@ def test_records_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_resume_discards_stale_stages_on_klist_change(tmp_path):
     rng = random.Random(68)
     genome = "".join(rng.choice("ACGT") for _ in range(300))

@@ -28,6 +28,7 @@ def _read_fasta_lens(path):
     return sorted(out)
 
 
+@pytest.mark.slow
 def test_counter_then_run_from_kmerc_matches_golden(tmp_path):
     out1 = str(tmp_path / "cnt")
     main(["counter", "-fastq", EXAMPLE, "-outfile", out1,
@@ -42,6 +43,7 @@ def test_counter_then_run_from_kmerc_matches_golden(tmp_path):
     assert lens == [4558, 4558]
 
 
+@pytest.mark.slow
 def test_run_direct_matches_golden(tmp_path):
     out = str(tmp_path / "run")
     main(["run", "-fastq", EXAMPLE, "-outfile", out,
@@ -51,6 +53,7 @@ def test_run_direct_matches_golden(tmp_path):
     assert os.path.exists(os.path.join(out, "_SUCCESS"))
 
 
+@pytest.mark.slow
 def test_run_writes_assembly_report(tmp_path):
     import random
 
@@ -92,6 +95,7 @@ def test_count_kmers_rejects_over_2g_windows():
         )
 
 
+@pytest.mark.slow
 def test_minlength_filters_short_reads(tmp_path):
     import random
 

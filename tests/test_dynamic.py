@@ -86,6 +86,7 @@ def test_dyn_round_matches_fixed_k_semantics():
     assert got == want
 
 
+@pytest.mark.slow
 def test_dynamic_assembly_uniform_coverage():
     rng = random.Random(23)
     genome = "".join(rng.choice("ACGT") for _ in range(500))
@@ -107,6 +108,7 @@ def test_dynamic_assembly_uniform_coverage():
     assert c in genome or oracle.revcomp(c) in genome
 
 
+@pytest.mark.slow
 def test_dynamic_rescues_low_coverage_region():
     """Sparse region: adjacent reads overlap by only ~17 bases, so 31-mers
     spanning junctions are single-copy (filtered at min_cov=2) but 15-mers in

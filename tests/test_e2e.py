@@ -26,6 +26,7 @@ def _simulate(rng, genome, read_len, coverage, err_rate=0.0):
     return reads
 
 
+@pytest.mark.slow
 def test_synthetic_genome_assembles_to_single_contig():
     rng = random.Random(42)
     genome = "".join(rng.choice("ACGT") for _ in range(600))
@@ -41,6 +42,7 @@ def test_synthetic_genome_assembles_to_single_contig():
     assert contig in genome or oracle.revcomp(contig) in genome
 
 
+@pytest.mark.slow
 def test_synthetic_genome_with_errors():
     rng = random.Random(7)
     genome = "".join(rng.choice("ACGT") for _ in range(500))
@@ -56,6 +58,7 @@ def test_synthetic_genome_with_errors():
     assert longest in genome or oracle.revcomp(longest) in genome
 
 
+@pytest.mark.slow
 def test_two_chromosomes():
     rng = random.Random(9)
     g1 = "".join(rng.choice("ACGT") for _ in range(400))

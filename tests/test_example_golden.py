@@ -24,6 +24,7 @@ EXAMPLE = "/root/reference/example/paired_dat*.fq.gz"
     not os.path.exists("/root/reference/example/paired_dat1.fq.gz"),
     reason="reference example data not mounted",
 )
+@pytest.mark.slow
 def test_example_assembles_to_golden_contig():
     mat, lens = load_reads(EXAMPLE)
     assert mat.shape[0] == 2300

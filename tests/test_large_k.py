@@ -41,6 +41,7 @@ def test_count_matches_oracle_large_k(k):
     assert got == oracle.count_kmers(reads, k, min_cov=2)
 
 
+@pytest.mark.slow
 def test_assembly_k55():
     rng = random.Random(99)
     genome = "".join(rng.choice("ACGT") for _ in range(800))

@@ -1,6 +1,7 @@
 import random
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 import oracle
@@ -55,6 +56,7 @@ def test_extract_window():
                 err_msg=f"width={width} row={i}")
 
 
+@pytest.mark.slow
 def test_concat_matches_strings():
     rng = random.Random(3)
     for _ in range(20):

@@ -145,6 +145,7 @@ def test_finished_mask_pdyn_conservative():
     assert not fin[~live].any()
 
 
+@pytest.mark.slow
 def test_dyn_parking_preserves_assembly():
     """Forcing the parking path must not change the mixed-k fixpoint."""
     import random as _random

@@ -51,6 +51,7 @@ def test_sharded_count_matches_oracle(mesh):
     assert got == want
 
 
+@pytest.mark.slow
 def test_sharded_extension_assembles_chain(mesh):
     import random
     rng = random.Random(17)
@@ -87,6 +88,7 @@ def test_sharded_extension_assembles_chain(mesh):
     assert s == genome or oracle.revcomp(s) == genome
 
 
+@pytest.mark.slow
 def test_sharded_full_assembly_matches_golden_properties(mesh):
     """End-to-end sharded assembly on a synthetic genome: same canonical
     contig as the single-device assembler."""
@@ -141,6 +143,7 @@ def test_finished_mask_sharded_matches_single_chip(mesh):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_sharded_parking_preserves_assembly(mesh):
     """Forcing frequent parking must not change the assembled contigs."""
     import random
@@ -160,6 +163,7 @@ def test_sharded_parking_preserves_assembly(mesh):
     assert seqs == want
 
 
+@pytest.mark.slow
 def test_sharded_meta_assembly_reconstructs_genome(mesh):
     """assemble_dynamic with a mesh: sharded mixed-k rounds rebuild the
     genome like the single-chip path."""
@@ -181,6 +185,7 @@ def test_sharded_meta_assembly_reconstructs_genome(mesh):
         got_best) == oracle.canonical(genome) or len(got_best) >= 700
 
 
+@pytest.mark.slow
 def test_dyn_sharded_overflow_retries():
     """Pathological key skew (every record shares one head key) must trigger
     the repad-and-retry path, not lose rows.
@@ -238,6 +243,7 @@ print("LIVE_OK", live_out)
     assert "overflowed" in (out.stderr + out.stdout)
 
 
+@pytest.mark.slow
 def test_sharded_fork_filter_matches_single_device(mesh):
     import random
     rng = random.Random(53)

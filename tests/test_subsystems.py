@@ -26,6 +26,7 @@ def _sim_reads(rng, genome, read_len, coverage, err_rate=0.0, rc=True):
     return reads
 
 
+@pytest.mark.slow
 def test_reassembler_extends_fragment():
     from reflexiv_tpu.reassemble import reassemble_arrays
 
@@ -58,6 +59,7 @@ def test_merger_removes_redundant():
     assert sorted(merged, key=len) == sorted([b, a], key=len)
 
 
+@pytest.mark.slow
 def test_mercy_rescues_single_copy_bridge():
     from reflexiv_tpu.mercy import mercy_kmer_table
     from reflexiv_tpu.assembler import assemble_from_counts, assemble_reads
@@ -133,6 +135,7 @@ def test_error_correction_fixes_isolated_errors():
         orig if i == 40 else c for i, c in enumerate(reads[0]))
 
 
+@pytest.mark.slow
 def test_stitch_bridges_zero_coverage_gap():
     from reflexiv_tpu.stitch import stitch_contigs
     from reflexiv_tpu.assembler import assemble_reads
@@ -193,6 +196,7 @@ def test_preprocess_interleaved(tmp_path):
     assert merged[0] == genome[0:160]
 
 
+@pytest.mark.slow
 def test_reduce_emits_sorted_and_reduced_tables(tmp_path):
     from reflexiv_tpu.cli import main as cli_main
 
@@ -210,7 +214,9 @@ def test_reduce_emits_sorted_and_reduced_tables(tmp_path):
     ])
     assert rc == 0
     for k in (21, 31, 41):
-        assert (out / f"Count_{k}" / "_SUCCESS").exists()
+        # a completed Count_<k>_sorted eagerly deletes the superseded
+        # Count_<k> dir, like the reference ladder (Pipelines.java:1425-1436)
+        assert not (out / f"Count_{k}").exists()
         assert (out / f"Count_{k}_sorted" / "_SUCCESS").exists()
     for k in (21, 31, 41):
         assert (out / f"Count_{k}_reduced" / "_SUCCESS").exists()
@@ -218,3 +224,25 @@ def test_reduce_emits_sorted_and_reduced_tables(tmp_path):
     from reflexiv_tpu.dynamic import read_sorted_set
     bases, left, right = read_sorted_set(str(out / "Count_21_reduced"), 21)
     assert bases.shape[1] == 21 and len(bases) == len(left) == len(right)
+
+    # per-artifact resume (Pipelines.java:1368-1571): a re-run over completed
+    # artifacts does ZERO counting and ZERO fork-filter/reduction compute
+    import reflexiv_tpu.dynamic as dyn
+
+    def boom(*a, **kw):
+        raise AssertionError("resume must not recount/resort/rereduce")
+
+    mpatch = pytest.MonkeyPatch()
+    try:
+        mpatch.setattr(dyn, "count_kmers_auto", boom)
+        mpatch.setattr(dyn, "sort_k_records", boom)
+        mpatch.setattr(dyn, "reduce_k_pair", boom)
+        rc2 = cli_main([
+            "reduce", "-fastq", str(fq), "-outfile", str(out),
+            "-klist", "21,31,41", "-cover", "2",
+        ])
+    finally:
+        mpatch.undo()
+    assert rc2 == 0
+    bases2, left2, right2 = read_sorted_set(str(out / "Count_21_reduced"), 21)
+    assert len(bases2) == len(bases)
