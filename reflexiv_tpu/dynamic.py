@@ -646,17 +646,148 @@ def _pad_pdyn(p, cap_rows: int):
 # fixing + dedup + drivers
 # ---------------------------------------------------------------------------
 
+def _fixing_split(recs: DynRecords, kmax: int, kfix: int = 31):
+    """The 04Fixing split (``DSExtractFixingKmerFromContigEnds``,
+    ``ReflexivDSDynamicKmerFixing.java:1190-1253``).
+
+    Rows of length >= 2*kmax emit ``w = kmax - kfix + 1`` fixed kfix-mers
+    sliding in from EACH end, plus the interior cut by ``w`` on both sides;
+    an interior end whose original attr was blocked (>0) becomes a blocked
+    distance ``3 + kmax`` (the block now sits ``w`` bases beyond the cut),
+    extendable ends keep their attrs. Shorter rows pass through unsplit —
+    deviation: the reference drops them entirely (all are below the default
+    ``minContig`` anyway); keeping them is strictly safer.
+
+    Returns ``(end_windows (M, kfix) uint8, interiors, smalls)`` where
+    interiors/smalls are ``(codes, subk, left, right)`` host tuples.
+    """
+    seq, length, subk, left, right, live = (np.asarray(a) for a in recs)
+    w = kmax - kfix + 1
+    ends, interiors, smalls = [], [], []
+    for i in np.nonzero(live)[0]:
+        n = int(length[i])
+        s = seq[i, :n]
+        if n < 2 * kmax:
+            smalls.append((s, int(subk[i]), int(left[i]), int(right[i])))
+            continue
+        # sliding end windows (vectorized per row)
+        ends.append(np.lib.stride_tricks.sliding_window_view(
+            s[: w + kfix - 1], kfix))
+        ends.append(np.lib.stride_tricks.sliding_window_view(
+            s[n - w - kfix + 1:], kfix))
+        l = int(left[i])
+        r = int(right[i])
+        interiors.append((
+            s[w: n - w],
+            kfix - 1,
+            3 + kmax if l > 0 else l,
+            3 + kmax if r > 0 else r,
+        ))
+    end_windows = (
+        np.concatenate(ends, axis=0).astype(np.uint8)
+        if ends else np.zeros((0, kfix), np.uint8)
+    )
+    return end_windows, interiors, smalls
+
+
+def _dyn_pool_from_rows(rows, min_subk_width: int = 1) -> DynRecords:
+    """Stack host ``(codes, subk, left, right)`` rows into a DynRecords pool."""
+    total = max(len(rows), 1)
+    maxlen = max([len(c) for c, _, _, _ in rows] + [2])
+    cap = max(next_pow2(total), 16)
+    L = next_pow2(maxlen)
+    seq = np.zeros((cap, L), np.uint8)
+    length = np.zeros(cap, np.int32)
+    subk = np.full(cap, min_subk_width, np.int32)
+    left = np.zeros(cap, np.int32)
+    right = np.zeros(cap, np.int32)
+    live = np.zeros(cap, bool)
+    for j, (codes, sk, l, r) in enumerate(rows):
+        seq[j, : len(codes)] = codes
+        length[j] = len(codes)
+        subk[j] = sk
+        left[j] = l
+        right[j] = r
+        live[j] = True
+    return DynRecords(
+        jnp.asarray(seq), jnp.asarray(length), jnp.asarray(subk),
+        jnp.asarray(left), jnp.asarray(right), jnp.asarray(live),
+    )
+
+
+def fixing_rounds_faithful(
+    recs: DynRecords, params: Params, *, kmax: int, kfix: int = 31,
+    seed: int = 1000, mesh=None, round_schedule: Tuple[int, ...] = (18, 30),
+) -> DynRecords:
+    """Faithful 04Fixing + 05FixingAgain
+    (``ReflexivDSDynamicKmerFixing.java:125-259``,
+    ``ReflexivDSDynamicKmerFixingRoundTwo.java:138-263``).
+
+    Each pass re-expresses every contig's end regions as the full set of
+    overlapping fixed kfix-mers (§ ``DSExtractFixingKmerFromContigEnds``),
+    deduplicates them (the reference's ``groupBy(kmer).count()`` whose count
+    the marker assignment then discards, ``:1211-1244,1857-1877``),
+    fork-filters the deduped set both directions (ambiguous continuations
+    block, ``:2057,2232``), and runs bounded fixed-k extension rounds over
+    end k-mers + interiors. Contigs whose end regions overlap at ANY offset
+    >= kfix re-join through the shared k-mer chain — the case the
+    unique-exact-overlap fast path (:func:`fixing_rounds`) cannot handle.
+    The second pass mirrors FixingRoundTwo's re-split + 30 extra rounds.
+    """
+    if kmax < kfix + 1:
+        # degenerate k ladder: end windows would be empty
+        return fixing_rounds(
+            recs, params, kfix=min(kfix, kmax), seed=seed, mesh=mesh)
+    import dataclasses as _dc
+
+    from .bitpack import canonical_packed, revcomp_bases
+
+    for pass_i, n_rounds in enumerate(round_schedule):
+        end_windows, interiors, smalls = _fixing_split(recs, kmax, kfix)
+        if not len(end_windows):
+            return recs
+        fwd = pack_bases(jnp.asarray(end_windows), kfix)
+        rc = pack_bases(revcomp_bases(jnp.asarray(end_windows)), kfix)
+        canon = np.asarray(canonical_packed(fwd, rc))
+        uniq = np.unique(canon, axis=0)
+        # counts deliberately flattened to 1: the reference's marker
+        # assignment overwrites every deduped end k-mer with (1, -1, -1)
+        rec31, _ = build_initial_records(
+            jnp.asarray(uniq), jnp.ones(len(uniq), jnp.int32), k=kfix,
+            min_error=params.min_error_for_k(kfix),
+        )
+        live31 = np.asarray(rec31.live)
+        seq31 = np.asarray(rec31.seq)[live31][:, :kfix]
+        l31 = np.asarray(rec31.left)[live31]
+        r31 = np.asarray(rec31.right)[live31]
+        rows = [
+            (seq31[j], kfix - 1, int(l31[j]), int(r31[j]))
+            for j in range(len(seq31))
+        ]
+        rows.extend(interiors)
+        rows.extend(smalls)
+        pool = _dyn_pool_from_rows(rows)
+        fix_params = _dc.replace(params, min_iterations=min(
+            params.min_iterations, n_rounds))
+        recs = run_dyn_extension(
+            pool, fix_params, kmin=kfix, kmax=kfix,
+            seed=seed + 500 * pass_i, max_rounds=n_rounds, mesh=mesh,
+        )
+    return recs
+
+
 def fixing_rounds(
     recs: DynRecords, params: Params, *, kfix: int = 31, seed: int = 1000,
     mesh=None,
 ) -> DynRecords:
     """Contig-end rejoin on fixed (kfix-1)-base overlaps, unique joins only.
 
-    Simplified ``ReflexivDSDynamicKmerFixing`` (``:125-259``): instead of
-    re-counting 31-mers from reads at fragment ends, join contig ends that
-    share a unique exact (kfix-1)-base overlap; ambiguity (any group with
-    more than one candidate) blocks the join, standing in for the reference's
-    fork filters on re-counted end k-mers.
+    Fast-path simplification of ``ReflexivDSDynamicKmerFixing`` (``:125-259``)
+    — see :func:`fixing_rounds_faithful` for the faithful split-based
+    implementation (the default in :func:`assemble_dynamic`): join contig
+    ends that share a unique exact (kfix-1)-base overlap; ambiguity (any
+    group with more than one candidate) blocks the join, standing in for the
+    reference's fork filters on re-counted end k-mers.
     """
     sub = jnp.minimum(jnp.int32(kfix - 1), recs.length - 1)
     eligible = recs.live & (recs.length >= kfix)
@@ -879,8 +1010,13 @@ def assemble_dynamic(
             ckpt.save_records(workdir, "02extended", pool)
 
     if resume_idx < 3:
-        pool = fixing_rounds(
-            pool, params, kfix=min(31, kmin), seed=seed + 1000, mesh=mesh)
+        if os.environ.get("REFLEXIV_FAST_FIXING") == "1" or kmax < 32:
+            # unique-exact-overlap fast path (or degenerate k ladder)
+            pool = fixing_rounds(
+                pool, params, kfix=min(31, kmin), seed=seed + 1000, mesh=mesh)
+        else:
+            pool = fixing_rounds_faithful(
+                pool, params, kmax=kmax, seed=seed + 1000, mesh=mesh)
         if workdir:
             ckpt.save_records(workdir, "03fixed", pool)
 

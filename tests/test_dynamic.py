@@ -145,3 +145,52 @@ def test_dynamic_rescues_low_coverage_region():
     assert best_dyn >= 800
     longest = max(dyn_canon, key=len)
     assert longest in genome or oracle.revcomp(longest) in genome
+
+
+def _pool_from_strings(seqs, subk=30, left=-1, right=-1):
+    from reflexiv_tpu.bitpack import encode_ascii
+    from reflexiv_tpu.dynamic import _dyn_pool_from_rows
+
+    rows = []
+    for s in seqs:
+        for t in (s, oracle.revcomp(s)):
+            rows.append((
+                encode_ascii(np.frombuffer(t.encode(), np.uint8)),
+                subk, left, right,
+            ))
+    return _dyn_pool_from_rows(rows)
+
+
+def _live_canon(recs):
+    from reflexiv_tpu.bitpack import decode_to_str
+
+    seq, length, _subk, _l, _r, live = (np.asarray(a) for a in recs)
+    return {
+        canonical_contig(decode_to_str(seq[i, :length[i]]))
+        for i in np.nonzero(live)[0]
+    }
+
+
+@pytest.mark.slow
+def test_faithful_fixing_joins_offset_overlap():
+    """Two fragments overlapping by 45 bases (not exactly k-1=30): the
+    unique-exact-overlap fast path cannot join them, the faithful 04Fixing
+    split (contig-end k-mer chains, ReflexivDSDynamicKmerFixing.java:1190)
+    must."""
+    rng = random.Random(7)
+    genome = "".join(rng.choice("ACGT") for _ in range(700))
+    a = genome[:380]
+    b = genome[335:]  # 45 bp overlap with a
+
+    params = Params(klist=(23, 31, 41, 53), min_kmer_coverage=2)
+
+    fast = dynamic.fixing_rounds(
+        _pool_from_strings([a, b]), params, kfix=31, seed=5)
+    assert max(len(s) for s in _live_canon(fast)) < 700
+
+    fixed = dynamic.fixing_rounds_faithful(
+        _pool_from_strings([a, b]), params, kmax=53, seed=5)
+    canon = _live_canon(fixed)
+    best = max(canon, key=len)
+    assert len(best) == 700
+    assert best == canonical_contig(genome)

@@ -72,3 +72,49 @@ def test_two_chromosomes():
     for c in canon:
         assert (c in g1 or oracle.revcomp(c) in g1
                 or c in g2 or oracle.revcomp(c) in g2)
+
+
+@pytest.mark.slow
+def test_meta_50kb_paired_with_errors():
+    """Scale-up parity (VERDICT round-1 item 4): a 50 kb synthetic genome,
+    paired 150 bp reads at ~25x with 1% errors, full default klist (filtered
+    by read length). meta must reconstruct essentially the whole genome and
+    do at least as well as single-k run; every contig must align to the
+    truth exactly (error k-mers die in the coverage/fork filters)."""
+    from reflexiv_tpu import dynamic
+    from reflexiv_tpu.params import DEFAULT_KLIST
+
+    rng = random.Random(4242)
+    genome = "".join(rng.choice("ACGT") for _ in range(50_000))
+    reads = []
+    n_pairs = 50_000 * 25 // (2 * 150)
+    for _ in range(n_pairs):
+        s = rng.randrange(len(genome) - 300 + 1)
+        insert = genome[s:s + 300]
+        r1 = list(insert[:150])
+        r2 = list(oracle.revcomp(insert[150:]))
+        for r in (r1, r2):
+            for i in range(len(r)):
+                if rng.random() < 0.01:
+                    r[i] = rng.choice("ACGT")
+        reads.append("".join(r1))
+        reads.append("".join(r2))
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+
+    params = Params(
+        klist=DEFAULT_KLIST, min_kmer_coverage=3, min_contig=500)
+    meta = dynamic.assemble_dynamic(mat, lens, params, seed=11)
+    meta_canon = sorted(
+        {canonical_contig(s) for _, s in meta}, key=len, reverse=True)
+
+    single = assemble_reads(
+        mat, lens, Params(k=31, min_kmer_coverage=3, min_contig=500),
+        seed=11)
+    single_best = max((len(s) for _, s in single), default=0)
+
+    best = meta_canon[0]
+    assert len(best) >= single_best
+    assert len(best) >= 45_000  # essentially the whole genome
+    # exact alignment to truth: assembled sequence carries no read errors
+    for c in meta_canon:
+        assert c in genome or oracle.revcomp(c) in genome

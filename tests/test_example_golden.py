@@ -45,3 +45,29 @@ def test_example_assembles_to_golden_contig():
     # internal consistency: every read 31-mer band of the contig is covered
     # by the solid k-mer set (spot check: contig contains no N and is ACGT)
     assert set(contig) <= set("ACGT")
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/example/paired_dat1.fq.gz"),
+    reason="reference example data not mounted",
+)
+@pytest.mark.slow
+def test_example_meta_assembles_to_golden_contig():
+    """meta (the production dynamic-k pipeline, Pipelines.java:840-1291) on
+    the reference example: one canonical contig covering the 4,576 bp source
+    at least as completely as the single-k run's 4,558 bp."""
+    from reflexiv_tpu.dynamic import assemble_dynamic
+
+    mat, lens = load_reads(EXAMPLE)
+    params = Params(
+        klist=(23, 31, 41, 53, 67, 81), min_kmer_coverage=3, min_contig=500)
+    contigs = assemble_dynamic(mat, lens, params, seed=0)
+    canon = canonical_set(contigs)
+    assert len(canon) == 1
+    (contig,) = canon
+    # run recovers 4,558 bp; meta's end-extension recovers more of the
+    # 4,576 bp source, never beyond it
+    assert 4558 <= len(contig) <= 4576
+    # contig ID format parity: >Contig-<len>-(<left>,<right>)-<idx>
+    header = contigs[0][0]
+    assert header.startswith(">Contig-") and "(" in header and ")" in header
