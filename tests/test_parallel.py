@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -289,3 +291,26 @@ def test_sharded_fork_filter_matches_single_device(mesh):
     from reflexiv_tpu.records import Records
     got = canon(Records(seqg, leng, leftg, rightg, liveg))
     assert got == canon(recs)
+
+
+@pytest.mark.slow
+def test_multiprocess_two_process_smoke():
+    """Mesh code survives REAL process boundaries: two jax.distributed CPU
+    processes (gloo collectives) form one 8-device mesh; sharded counting
+    matches a scalar oracle and a sharded extension round matches the
+    single-device round (scripts/multiprocess_smoke.py). The multi-host
+    stand-in per SURVEY section 4."""
+    import subprocess
+    import sys
+
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "multiprocess_smoke.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    out = subprocess.run(
+        [sys.executable, script], capture_output=True, text=True,
+        timeout=700, env=env,
+    )
+    assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-2000:]
+    assert "multiprocess smoke: OK" in out.stdout
