@@ -134,6 +134,104 @@ def _consensus_codes(tails: List[np.ndarray]) -> np.ndarray:
     return np.asarray(out, np.uint8)
 
 
+def _batch_extensions(
+    seqs: List[str],
+    active: List[int],
+    index: _MatrixWindowIndex,
+    anchor: int,
+    max_tail: int,
+    chunk: int = 1024,
+) -> List[np.ndarray]:
+    """One consensus round for every active contig at once.
+
+    For each contig's terminal ``anchor``-mer, gathers ALL index hits, reads
+    the hit tails straight out of the code matrix as one fancy-indexed
+    ``(hits, max_tail)`` gather, and histograms votes per
+    (contig, column, base) with a single ``bincount`` — the per-column
+    Python loop of :func:`_consensus_codes` batched over contigs.
+    Complexity per round: O(sum(hits) * max_tail) array work, no Python
+    per contig beyond string slicing.
+    """
+    from .bitpack import encode_ascii
+
+    L = index.bases.shape[1]
+    out: List[np.ndarray] = []
+    for lo_c in range(0, len(active), chunk):
+        ids = active[lo_c: lo_c + chunk]
+        C = len(ids)
+        tails_ascii = np.frombuffer(
+            "".join(seqs[i][-anchor:] for i in ids).encode(), np.uint8
+        ).reshape(C, anchor)
+        codes = encode_ascii(tails_ascii).astype(np.uint64)
+        keys = np.zeros(C, np.uint64)
+        for j in range(anchor):
+            keys = (keys << np.uint64(2)) | codes[:, j]
+        lo = np.searchsorted(index.keys, keys, side="left")
+        hi = np.searchsorted(index.keys, keys, side="right")
+        cnt = (hi - lo).astype(np.int64)
+        H = int(cnt.sum())
+        if H == 0:
+            out.extend(np.zeros(0, np.uint8) for _ in ids)
+            continue
+        # flat hit pointers: for contig c, index.keys[lo[c]:hi[c]]
+        seg_start = np.zeros(C, np.int64)
+        np.cumsum(cnt[:-1], out=seg_start[1:])
+        within = np.arange(H, dtype=np.int64) - np.repeat(seg_start, cnt)
+        ptr = np.repeat(lo.astype(np.int64), cnt) + within
+        hit_contig = np.repeat(np.arange(C, dtype=np.int64), cnt)
+        rows = index.rows[ptr].astype(np.int64)
+        ends = index.ends[ptr].astype(np.int64)
+        strands = index.strands[ptr].astype(np.int64)
+        n = index.lengths[rows].astype(np.int64)
+
+        pos = np.arange(max_tail, dtype=np.int64)[None, :]
+        colf = ends[:, None] + pos
+        valid = colf < n[:, None]
+        col = np.where(strands[:, None] == 0, colf, n[:, None] - 1 - colf)
+        vals = index.bases[rows[:, None], np.clip(col, 0, L - 1)]
+        vals = np.where(strands[:, None] == 1, vals ^ 3, vals).astype(np.int64)
+        flat = ((hit_contig[:, None] * max_tail + pos) << 2) | vals
+        counts = np.bincount(
+            flat[valid], minlength=C * max_tail * 4
+        ).reshape(C, max_tail, 4)
+        tot = counts.sum(-1)
+        best = counts.argmax(-1)
+        bestc = np.take_along_axis(counts, best[..., None], -1)[..., 0]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            frac = bestc / np.maximum(tot, 1)
+        ok = (tot >= MIN_SUPPORT) & (frac >= MIN_MAJORITY)
+        ok = np.logical_and.accumulate(ok, axis=1)
+        ext_len = ok.sum(1)
+        for c in range(C):
+            out.append(best[c, : ext_len[c]].astype(np.uint8))
+    return out
+
+
+def _extend_right_batch(
+    seqs: List[str],
+    index: _MatrixWindowIndex,
+    anchor: int,
+    max_rounds: int,
+    max_tail: int,
+) -> List[str]:
+    from .bitpack import decode_to_str
+
+    seqs = list(seqs)
+    active = [i for i, s in enumerate(seqs) if len(s) >= anchor]
+    for _ in range(max_rounds):
+        if not active:
+            break
+        exts = _batch_extensions(seqs, active, index, anchor, max_tail)
+        nxt = []
+        for i, ext in zip(active, exts):
+            if len(ext):
+                seqs[i] = seqs[i] + decode_to_str(ext)
+                if len(seqs[i]) >= anchor:
+                    nxt.append(i)
+        active = nxt
+    return seqs
+
+
 def end_extend_arrays(
     contigs: List[str],
     bases: np.ndarray,
@@ -148,8 +246,28 @@ def end_extend_arrays(
 
     Works on the right end of the contig and of its reverse complement
     (= the left end); iterates because each round can expose a new terminal
-    anchor.
+    anchor. Batched across contigs: each global round does one vectorized
+    lookup + tail gather + bincount consensus over every still-growing
+    contig (contigs do not interact — the read index is static — so the
+    result equals the per-contig loop's).
     """
+    index = _MatrixWindowIndex(np.asarray(bases), np.asarray(lengths), anchor)
+    seqs = _extend_right_batch(contigs, index, anchor, max_rounds, max_tail)
+    seqs = _extend_right_batch(
+        [revcomp_str(s) for s in seqs], index, anchor, max_rounds, max_tail)
+    return [revcomp_str(s) for s in seqs]
+
+
+def end_extend_arrays_scalar(
+    contigs: List[str],
+    bases: np.ndarray,
+    lengths: np.ndarray,
+    *,
+    anchor: int = ANCHOR,
+    max_rounds: int = 8,
+    max_tail: int = 256,
+) -> List[str]:
+    """Per-contig reference implementation (oracle for the batched path)."""
     from .bitpack import decode_to_str, encode_ascii
 
     index = _MatrixWindowIndex(np.asarray(bases), np.asarray(lengths), anchor)

@@ -42,3 +42,36 @@ def test_end_extend_respects_disagreement():
     (extended,) = end_extend([contig], reads)
     # 50/50 split is below the 0.7 majority bar on the first column
     assert extended == contig
+
+
+def test_batched_equals_scalar_end_extension():
+    """The chunked/vectorized driver must reproduce the per-contig loop
+    exactly (contigs do not interact: the read index is static)."""
+    import numpy as np
+
+    from reflexiv_tpu.io import reads_to_matrix
+    from reflexiv_tpu.mapping import (end_extend_arrays,
+                                      end_extend_arrays_scalar)
+
+    rng = random.Random(77)
+    genome = "".join(rng.choice("ACGT") for _ in range(3000))
+    contigs = []
+    for _ in range(23):
+        s = rng.randrange(len(genome) - 300)
+        w = rng.randrange(120, 300)
+        c = genome[s:s + w]
+        if rng.random() < 0.5:
+            c = oracle.revcomp(c)
+        contigs.append(c)
+    reads = []
+    for _ in range(1500):
+        s = rng.randrange(len(genome) - 80)
+        r = genome[s:s + 80]
+        if rng.random() < 0.5:
+            r = oracle.revcomp(r)
+        reads.append(r)
+    bases, lens = reads_to_matrix([r.encode() for r in reads])
+    got = end_extend_arrays(contigs, bases, lens)
+    want = end_extend_arrays_scalar(contigs, bases, lens)
+    assert got == want
+    assert any(len(g) > len(c) for g, c in zip(got, contigs))
