@@ -47,12 +47,15 @@ def merge_pairs(
     """
     P = m1.shape[0]
     assert m2.shape[0] == P
-    # reverse complement r2 (per-row reversal up to its length)
-    L2 = m2.shape[1]
-    r2rc = np.zeros_like(m2)
-    for i in range(P):
-        n = l2[i]
-        r2rc[i, :n] = (3 - m2[i, :n][::-1]).astype(np.uint8)
+    # reverse complement r2: one gather over the whole matrix (row i maps
+    # column j -> l2[i]-1-j), no per-pair Python
+    L1, L2 = m1.shape[1], m2.shape[1]
+    rows = np.arange(P)[:, None]
+    col = l2[:, None].astype(np.int64) - 1 - np.arange(L2)[None, :]
+    in_read = col >= 0
+    r2rc = np.where(
+        in_read, (3 - m2[rows, np.clip(col, 0, L2 - 1)]), 0
+    ).astype(np.uint8)
 
     from . import native
 
@@ -62,25 +65,23 @@ def merge_pairs(
     if best_native is not None:
         best_o = best_native
     else:
+        # vectorized fallback: for each overlap o, one gathered tail
+        # comparison across all pairs at once
         best_o = np.zeros(P, np.int32)
         best_mm = np.full(P, 1.0, np.float64)
-        max_o = int(min(m1.shape[1], L2))
+        max_o = int(min(L1, L2))
         for o in range(min_overlap, max_o + 1):
             ok = (l1 >= o) & (l2 >= o)
             if not ok.any():
                 continue
-            idx = np.nonzero(ok)[0]
-            mm = np.empty(len(idx), np.float64)
-            for j, i in enumerate(idx):
-                a = m1[i, l1[i] - o: l1[i]]
-                b = r2rc[i, :o]
-                mm[j] = np.count_nonzero(a != b) / o
-            better = (mm <= max_mismatch) & (
-                (mm < best_mm[idx])
-                | ((mm == best_mm[idx]) & (o > best_o[idx]))
+            cols = l1[:, None].astype(np.int64) - o + np.arange(o)[None, :]
+            a = m1[rows, np.clip(cols, 0, L1 - 1)]
+            mm = np.count_nonzero(a != r2rc[:, :o], axis=1) / o
+            better = ok & (mm <= max_mismatch) & (
+                (mm < best_mm) | ((mm == best_mm) & (o > best_o))
             )
-            best_o[idx[better]] = o
-            best_mm[idx[better]] = mm[better]
+            best_o[better] = o
+            best_mm[better] = mm[better]
 
     merged_mask = best_o >= min_overlap
     out: List[np.ndarray] = []
@@ -94,8 +95,117 @@ def merge_pairs(
     return out, merged_mask
 
 
+def _solid_table(mat: np.ndarray, lens: np.ndarray, k: int, min_cov: int):
+    """(sorted uint64 canonical values of solid k-mers, limbs, counts)."""
+    from . import count as count_mod
+
+    limbs, counts = count_mod.count_kmers(mat, lens, k=k, min_cov=min_cov)
+    if limbs.shape[1] > 2:
+        raise ValueError("correction supports k <= 31")
+    if limbs.shape[1] == 2:
+        vals = (limbs[:, 0].astype(np.uint64) << np.uint64(32)) | (
+            limbs[:, 1].astype(np.uint64))
+    else:
+        vals = limbs[:, 0].astype(np.uint64)
+    return np.sort(vals), limbs, counts
+
+
+def _window_solidity(mat, lens, k, limbs, counts):
+    """(solid_w, valid_w, csum): per-window solidity of every read window,
+    computed on-device (the mercy count-lookup), plus its row prefix sum."""
+    import jax.numpy as jnp
+
+    from . import count as count_mod
+    from .mercy import lookup_counts
+
+    R, L = mat.shape
+    Wn = L - k + 1
+    q_limbs, q_valid = count_mod.extract_canonical_kmers(
+        jnp.asarray(mat), jnp.asarray(lens), k=k)
+    qc = lookup_counts(
+        jnp.asarray(limbs), jnp.asarray(counts), q_limbs, q_valid)
+    solid_w = (np.asarray(qc) > 0).reshape(R, Wn)
+    valid_w = np.asarray(q_valid).reshape(R, Wn)
+    solid_w &= valid_w
+    csum = np.zeros((R, Wn + 1), np.int32)
+    np.cumsum(solid_w, axis=1, out=csum[:, 1:])
+    return solid_w, valid_w, csum
+
+
+def _canon_member(wins: np.ndarray, k: int, solid_sorted: np.ndarray):
+    """Canonical-value set membership for a (..., k) base-code array."""
+    shifts = (np.uint64(2) * np.arange(k - 1, -1, -1, dtype=np.uint64))
+    fwd = np.bitwise_or.reduce(wins.astype(np.uint64) << shifts, axis=-1)
+    rc = np.bitwise_or.reduce(
+        (np.uint64(3) ^ wins[..., ::-1].astype(np.uint64)) << shifts, axis=-1)
+    canon = np.minimum(fwd, rc)
+    pos = np.searchsorted(solid_sorted, canon)
+    pos = np.minimum(pos, len(solid_sorted) - 1) if len(solid_sorted) else pos
+    return (
+        (solid_sorted[pos] == canon) if len(solid_sorted)
+        else np.zeros(canon.shape, bool)
+    )
+
+
+def _fix_pass(
+    mat: np.ndarray, lens: np.ndarray, k: int,
+    solid_sorted: np.ndarray, limbs, counts, *, chunk: int = 1 << 16,
+) -> int:
+    """One simultaneous correction pass: find every position covered by no
+    solid window, test the 3 substitutions for all of them at once (batched
+    window gather + canonical lookup), apply the unique fixes in place.
+    Returns the number of bases fixed."""
+    R, L = mat.shape
+    _solid_w, _valid_w, csum = _window_solidity(mat, lens, k, limbs, counts)
+    n = lens.astype(np.int64)
+    p = np.arange(L, dtype=np.int64)
+    w_lo = np.maximum(0, p - k + 1)[None, :]                      # (1, L)
+    w_hi = np.minimum((n - k + 1)[:, None], p[None, :] + 1)       # (R, L)
+    covered = np.take_along_axis(csum, np.maximum(w_hi, 0), axis=1) - \
+        np.take_along_axis(csum, np.broadcast_to(w_lo, w_hi.shape), axis=1)
+    weak = (covered == 0) & (p[None, :] < n[:, None]) & \
+        (n[:, None] >= k + 1) & (w_hi > w_lo)
+    ii, pp = np.nonzero(weak)
+    if not len(ii):
+        return 0
+
+    n_fixed = 0
+    for lo_c in range(0, len(ii), chunk):
+        ic, pc = ii[lo_c: lo_c + chunk], pp[lo_c: lo_c + chunk]
+        N = len(ic)
+        lo_w = np.maximum(0, pc - k + 1)
+        hi_w = np.minimum(lens[ic].astype(np.int64) - k + 1, pc + 1)
+        starts = lo_w[:, None] + np.arange(k)[None, :]            # (N, k)
+        w_ok = starts < hi_w[:, None]
+        cols = np.clip(
+            starts[:, :, None] + np.arange(k)[None, None, :], 0, L - 1)
+        wins = mat[ic[:, None, None], cols]                       # (N, k, k)
+        off = (pc[:, None] - starts)                              # (N, k)
+        orig = mat[ic, pc]
+        ok_count = np.zeros(N, np.int8)
+        fix_base = np.zeros(N, np.uint8)
+        sub = wins.copy()
+        at_p = np.zeros_like(wins, dtype=bool)
+        np.put_along_axis(
+            at_p, np.clip(off, 0, k - 1)[:, :, None], True, axis=2)
+        at_p &= w_ok[:, :, None]
+        for b in range(4):
+            np.copyto(sub, wins)
+            sub[at_p] = b
+            member = _canon_member(sub, k, solid_sorted)          # (N, k)
+            all_solid = np.logical_or(member, ~w_ok).all(axis=1)
+            cand = all_solid & (orig != b)
+            ok_count += cand
+            fix_base = np.where(cand, b, fix_base)
+        unique = ok_count == 1
+        mat[ic[unique], pc[unique]] = fix_base[unique]
+        n_fixed += int(unique.sum())
+    return n_fixed
+
+
 def correct_reads(
     mat: np.ndarray, lens: np.ndarray, *, k: int = 23, min_cov: int = 2,
+    max_rounds: int = 4,
 ) -> Tuple[np.ndarray, int]:
     """K-mer-spectrum single-base error correction (lighter-equivalent).
 
@@ -104,21 +214,32 @@ def correct_reads(
     uncorrectable positions are left untouched.
     Returns (corrected matrix, number of corrected bases).
 
-    The per-window solidity scan runs vectorized on-device (the mercy
-    count-lookup); Python only touches the flagged error positions (~error
-    rate x read volume, sparse).
+    Fully batched: each round flags every weak position in the whole read
+    matrix at once and tests all substitutions with one gathered
+    window-matrix lookup; rounds iterate so corrections that expose further
+    unique fixes (two errors within k of each other) still land, which is
+    what :func:`correct_reads_scalar`'s in-order per-read scan achieves
+    sequentially.
     """
-    import jax.numpy as jnp
+    solid_sorted, limbs, counts = _solid_table(mat, lens, k, min_cov)
+    mat = mat.copy()
+    n_fixed = 0
+    for _ in range(max_rounds):
+        got = _fix_pass(mat, lens, k, solid_sorted, limbs, counts)
+        n_fixed += got
+        if got == 0:
+            break
+    return mat, n_fixed
 
-    from . import count as count_mod
-    from .mercy import lookup_counts
 
-    limbs, counts = count_mod.count_kmers(mat, lens, k=k, min_cov=min_cov)
-    if limbs.shape[1] > 2:
-        raise ValueError("correction supports k <= 31")
-    solid = set(
-        (int(h) << 32) | int(l) for h, l in limbs[:, :2]
-    ) if limbs.shape[1] == 2 else {int(x) for x in limbs[:, 0]}
+def correct_reads_scalar(
+    mat: np.ndarray, lens: np.ndarray, *, k: int = 23, min_cov: int = 2,
+) -> Tuple[np.ndarray, int]:
+    """Per-read in-order reference implementation (oracle for the batched
+    path): scans each flagged read left to right, testing substitutions
+    against the solid set one window at a time."""
+    solid_sorted, limbs, counts = _solid_table(mat, lens, k, min_cov)
+    solid = set(int(x) for x in solid_sorted)
 
     def canon_val(window: np.ndarray) -> int:
         v = 0
@@ -129,20 +250,7 @@ def correct_reads(
             rc = (rc << 2) | (3 ^ int(b))
         return min(v, rc)
 
-    # vectorized per-window solidity over the whole matrix
-    R, L = mat.shape
-    Wn = L - k + 1
-    q_limbs, q_valid = count_mod.extract_canonical_kmers(
-        jnp.asarray(mat), jnp.asarray(lens), k=k)
-    qc = lookup_counts(
-        jnp.asarray(limbs), jnp.asarray(counts), q_limbs, q_valid)
-    solid_w = (np.asarray(qc) > 0).reshape(R, Wn)
-    valid_w = np.asarray(q_valid).reshape(R, Wn)
-    solid_w &= valid_w
-    # position covered by a solid window <=> max-filter of width k over the
-    # window mask; windows exist for starts [0, Wn)
-    csum = np.zeros((R, Wn + 1), np.int32)
-    np.cumsum(solid_w, axis=1, out=csum[:, 1:])
+    solid_w, valid_w, csum = _window_solidity(mat, lens, k, limbs, counts)
     has_weak = (valid_w & ~solid_w).any(axis=1)
 
     mat = mat.copy()

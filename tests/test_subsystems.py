@@ -246,3 +246,60 @@ def test_reduce_emits_sorted_and_reduced_tables(tmp_path):
     assert rc2 == 0
     bases2, left2, right2 = read_sorted_set(str(out / "Count_21_reduced"), 21)
     assert len(bases2) == len(bases)
+
+
+def test_error_correction_batched_matches_scalar():
+    """The simultaneous batched passes must land the same corrections as
+    the in-order per-read scan on scattered errors (including two errors
+    inside one read, which the round loop handles)."""
+    import numpy as np
+
+    from reflexiv_tpu.preprocess import correct_reads, correct_reads_scalar
+
+    rng = random.Random(41)
+    genome = "".join(rng.choice("ACGT") for _ in range(600))
+    reads = _sim_reads(rng, genome, 90, 120, rc=True)
+    for i in range(0, len(reads), 5):  # plant errors in every 5th read
+        bad = list(reads[i])
+        for p in (17, 63):
+            bad[p] = next(c for c in "ACGT" if c != bad[p])
+        reads[i] = "".join(bad)
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    got, n_got = correct_reads(mat, lens, k=21, min_cov=3)
+    want, n_want = correct_reads_scalar(mat, lens, k=21, min_cov=3)
+    assert n_got >= 1
+    assert n_got == n_want
+    assert np.array_equal(got, want)
+
+
+def test_merge_pairs_python_fallback_matches_native():
+    """The vectorized numpy fallback scorer must agree with the C++ one."""
+    import numpy as np
+
+    from reflexiv_tpu import native
+    from reflexiv_tpu.preprocess import merge_pairs
+
+    if native.merge_pairs_native(
+        np.zeros((1, 20), np.uint8), np.asarray([20]),
+        np.zeros((1, 20), np.uint8), np.asarray([20]),
+        min_overlap=10, max_mismatch=0.25,
+    ) is None:
+        pytest.skip("native library unavailable")
+    rng = random.Random(9)
+    r1s, r2s = [], []
+    for _ in range(40):
+        insert = "".join(rng.choice("ACGT") for _ in range(rng.randrange(90, 220)))
+        n1, n2 = rng.randrange(60, 101), rng.randrange(60, 101)
+        r1s.append(insert[:n1])
+        r2s.append(oracle.revcomp(insert[-n2:]))
+    m1, l1 = reads_to_matrix([r.encode() for r in r1s])
+    m2, l2 = reads_to_matrix([r.encode() for r in r2s])
+    merged_nat, mask_nat = merge_pairs(m1, l1, m2, l2)
+    orig = native.merge_pairs_native
+    native.merge_pairs_native = lambda *a, **k: None
+    try:
+        merged_py, mask_py = merge_pairs(m1, l1, m2, l2)
+    finally:
+        native.merge_pairs_native = orig
+    assert mask_nat.tolist() == mask_py.tolist()
+    assert all(np.array_equal(a, b) for a, b in zip(merged_nat, merged_py))
