@@ -39,6 +39,43 @@ def decode_to_str(codes: np.ndarray) -> str:
     return CODE_TO_BASE[np.asarray(codes, dtype=np.uint8)].tobytes().decode()
 
 
+def rolling_window_values(mat: np.ndarray, k: int, *, want_rc: bool = True):
+    """(R, L) uint8 code matrix -> (R, L-k+1) uint64 window values
+    (host-side, numpy), optionally with the reverse-complement values.
+
+    Forward value of window ``mat[i, j:j+k]`` is MSB-first
+    (``sum(base[t] << 2*(k-1-t))``); the rc value is the forward value of the
+    window's reverse complement. Rolling update along the window axis:
+    O(R*L) work with (R,)-sized carry state — no (R, W, k) gather and no
+    per-window shift-OR rescan.
+    """
+    R, L = mat.shape
+    W = L - k + 1
+    if W <= 0:
+        z = np.zeros((R, 0), np.uint64)
+        return (z, z.copy()) if want_rc else (z, None)
+    mask = np.uint64((1 << (2 * k)) - 1)
+    top = np.uint64(2 * (k - 1))
+    two, three = np.uint64(2), np.uint64(3)
+    fwd = np.empty((R, W), np.uint64)
+    rc = np.empty((R, W), np.uint64) if want_rc else None
+    cur = np.zeros(R, np.uint64)
+    curr = np.zeros(R, np.uint64) if want_rc else None
+    for t in range(k - 1):
+        c = mat[:, t].astype(np.uint64)
+        cur = ((cur << two) | c) & mask
+        if want_rc:
+            curr = (curr >> two) | ((three ^ c) << top)
+    for j in range(W):
+        c = mat[:, j + k - 1].astype(np.uint64)
+        cur = ((cur << two) | c) & mask
+        fwd[:, j] = cur
+        if want_rc:
+            curr = (curr >> two) | ((three ^ c) << top)
+            rc[:, j] = curr
+    return fwd, rc
+
+
 # --- limb geometry -------------------------------------------------------------------
 
 def num_limbs(k: int) -> int:

@@ -574,7 +574,7 @@ def run_dyn_extension(
             # assembler._run_extension_loop_packed); the global census runs
             # only on stable rounds so its gather cost is rare
             if stable >= 3 and stable % 3 == 0:
-                fin = int(jnp.sum(pd.finished_mask_pdyn(p, kmin)))
+                fin = int(jnp.sum(pd.finished_mask_pdyn_exact(p, max_sub)))
                 if fin == n:
                     break
             if it >= params.min_iterations and stable >= 12:
@@ -597,16 +597,16 @@ def run_dyn_extension(
             stable, prev = 0, n
         # exact stop (see assembler._run_extension_loop_packed)
         if stable >= 3 and stable % 3 == 0:
-            fin_n = int(jnp.sum(pd.finished_mask_pdyn(p, kmin)))
+            fin_n = int(jnp.sum(pd.finished_mask_pdyn_exact(p, max_sub)))
             if fin_n == n:
                 break
         if it >= params.min_iterations and stable >= 12:
             break
-        # park finished records off the per-round sort volume (conservative
-        # kmin-1 group-key census; the mixed-k analog of the single-k
+        # park finished records off the per-round sort volume (variable-
+        # width interval census; the mixed-k analog of the single-k
         # extendability prefilter)
         if it % 8 == 0 and it >= 8:
-            fin = np.asarray(pd.finished_mask_pdyn(p, kmin))
+            fin = np.asarray(pd.finished_mask_pdyn_exact(p, max_sub))
             n_fin = int(fin.sum())
             if n_fin > max(32, p.capacity // 8):
                 p = pd.park_finished_pdyn(p, fin, parked)

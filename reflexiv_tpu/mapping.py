@@ -49,29 +49,26 @@ class _MatrixWindowIndex:
         R, L = bases.shape
         W = max(L - k + 1, 0)
         key_parts, row_parts, end_parts, strand_parts = [], [], [], []
+        from .bitpack import rolling_window_values
+
         for lo in range(0, R, CHUNK_ROWS):
             hi = min(lo + CHUNK_ROWS, R)
-            codes = bases[lo:hi].astype(np.uint64)
+            chunk = bases[lo:hi]
             lens = self.lengths[lo:hi]
             n = hi - lo
             if W == 0 or n == 0:
                 continue
-            # forward windows (in-place shift-OR: one (n, W) buffer)
-            vals = np.zeros((n, W), np.uint64)
-            for j in range(k):
-                vals <<= np.uint64(2)
-                vals |= codes[:, j: j + W]
+            # forward windows: one rolling O(n*L) pass
+            vals = rolling_window_values(chunk, k, want_rc=False)[0]
             ends = np.arange(k, L + 1, dtype=np.int32)[None, :]
             ok = ends <= lens[:, None]
             # reverse-complement rows (per-row reversal via index gather)
             col = np.arange(L, dtype=np.int32)[None, :]
             rc_src = np.clip(lens[:, None] - 1 - col, 0, L - 1)
-            rc = np.take_along_axis(codes, rc_src.astype(np.int64), axis=1) ^ 3
+            rc = (np.take_along_axis(
+                chunk, rc_src.astype(np.int64), axis=1) ^ 3).astype(np.uint8)
             rc[col >= lens[:, None]] = 0
-            rvals = np.zeros((n, W), np.uint64)
-            for j in range(k):
-                rvals <<= np.uint64(2)
-                rvals |= rc[:, j: j + W]
+            rvals = rolling_window_values(rc, k, want_rc=False)[0]
             rr, cc = np.nonzero(ok)
             row_chunk = (rr + lo).astype(np.int32)
             end_chunk = (cc + k).astype(np.int32)

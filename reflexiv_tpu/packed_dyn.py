@@ -78,20 +78,24 @@ def to_dyn(p: PackedDynRecords):
     )
 
 
+def _limb_mask(nbases: jnp.ndarray, W: int) -> jnp.ndarray:
+    """(N, W) uint32 mask covering the first ``nbases`` bases per row."""
+    m = jnp.arange(W, dtype=jnp.int32)[None, :]
+    bits = jnp.clip(2 * (nbases[:, None] - BASES_PER_LIMB * m), 0, 32)
+    sh = jnp.clip(32 - bits, 0, 31).astype(jnp.uint32)
+    return jnp.where(
+        bits >= 32,
+        jnp.uint32(0xFFFFFFFF),
+        jnp.where(bits > 0, jnp.uint32(0xFFFFFFFF) << sh, jnp.uint32(0)),
+    )
+
+
 def masked_prefix_eq(
     a: jnp.ndarray, b: jnp.ndarray, nbases: jnp.ndarray
 ) -> jnp.ndarray:
     """Rows of two left-aligned packed windows equal on their first
     ``nbases`` bases: per-limb masked XOR."""
-    W = a.shape[1]
-    m = jnp.arange(W, dtype=jnp.int32)[None, :]
-    bits = jnp.clip(2 * (nbases[:, None] - BASES_PER_LIMB * m), 0, 32)
-    sh = jnp.clip(32 - bits, 0, 31).astype(jnp.uint32)
-    mask = jnp.where(
-        bits >= 32,
-        jnp.uint32(0xFFFFFFFF),
-        jnp.where(bits > 0, jnp.uint32(0xFFFFFFFF) << sh, jnp.uint32(0)),
-    )
+    mask = _limb_mask(nbases, a.shape[1])
     return jnp.all(((a ^ b) & mask) == 0, axis=1)
 
 
@@ -263,6 +267,62 @@ def finished_mask_pdyn(p: PackedDynRecords, kmin: int) -> jnp.ndarray:
         jnp.where(stail == 0, n_tails > 0, n_heads > 0)
     )
     return p.live & ~partnered[:N] & ~partnered[N:]
+
+
+def _count_before(a_keys, a_live, b_keys, *, strict: bool) -> jnp.ndarray:
+    """Per-b-row count of live a-rows with ``a_key <= b_key`` (``<`` when
+    ``strict``), multi-limb big-endian keys. One fused lexsort + cumsum."""
+    M, W = a_keys.shape
+    Nb = b_keys.shape[0]
+    keys = jnp.concatenate([a_keys, b_keys], axis=0)
+    is_a = jnp.concatenate(
+        [jnp.ones(M, bool), jnp.zeros(Nb, bool)])
+    # tie order decides <= vs <: equal keys put a first for <=, b first for <
+    tag = jnp.where(is_a == (not strict), 0, 1).astype(jnp.int32)
+    order = jnp.lexsort(
+        (tag,) + tuple(keys[:, i] for i in range(W - 1, -1, -1)))
+    contrib = (is_a & jnp.concatenate(
+        [a_live, jnp.zeros(Nb, bool)]))[order].astype(jnp.int32)
+    c = jnp.cumsum(contrib) - contrib      # a-rows strictly before this row
+    out = jnp.zeros(M + Nb, jnp.int32).at[order].set(c)
+    return out[M:]
+
+
+@functools.partial(jax.jit, static_argnames=("max_sub",))
+def finished_mask_pdyn_exact(
+    p: PackedDynRecords, max_sub: int
+) -> jnp.ndarray:
+    """Variable-width mixed-k extendability census.
+
+    A merge (``pdyn_extension_round_with_markers``) needs a reflected
+    record's tail sub-kmer (its last ``subk`` bases) to prefix a forward
+    record's head (its first ``subk`` bases). Each head/tail is therefore a
+    trie interval of completions ``[key0000.., key3333..]`` of width
+    ``subk``; a prefix relation between a head and a tail is exactly an
+    interval intersection. A record is finished when no live tail interval
+    intersects its head interval and no live head intersects its tail —
+    counted with four sorted sweeps (#tails with ``t_lo <= h_hi`` minus
+    #tails with ``t_hi < h_lo``, and symmetrically).
+
+    Sharper than :func:`finished_mask_pdyn`'s fixed ``(kmin-1)``-window
+    census — records colliding on the first kmin-1 bases but diverging
+    within their sub-kmers now park. Still conservative: an intersection
+    where the *head* strictly prefixes the longer tail is kept alive though
+    unmergeable, and merge-gate attrs are ignored.
+    """
+    W = limbs_for(max_sub)
+    zero = jnp.zeros_like(p.length)
+    head = extract_window(p.seq, zero, max_sub)
+    tail = extract_window(p.seq, jnp.maximum(p.length - p.subk, 0), max_sub)
+    mask = _limb_mask(p.subk, W)
+    h_lo, h_hi = head & mask, head | ~mask
+    t_lo, t_hi = tail & mask, tail | ~mask
+    live = p.live
+    head_hits = _count_before(t_lo, live, h_hi, strict=False) - \
+        _count_before(t_hi, live, h_lo, strict=True)
+    tail_hits = _count_before(h_lo, live, t_hi, strict=False) - \
+        _count_before(h_hi, live, t_lo, strict=True)
+    return live & ~(head_hits > 0) & ~(tail_hits > 0)
 
 
 def park_finished_pdyn(p: PackedDynRecords, fin, parked: list):

@@ -23,14 +23,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
+SUBLANES = 8
+BR = SUBLANES * LANES    # reads per kernel instance: one full (8, 128) tile
 
 
-def _extract_kernel(k: int, L: int, BR: int):
-    """Kernel body factory: bases block (L, BR) uint32 -> hi/lo (Wn, BR).
+def _extract_kernel(k: int, L: int):
+    """Kernel body factory: bases block (L, 1, 8, 128) uint32 ->
+    hi/lo (Wn, 1, 8, 128).
 
-    Uses a ``fori_loop`` over base columns (rolling fwd/rc packed state)
-    rather than a fully unrolled python loop: the unrolled form produced a
-    Mosaic program large enough to wedge this environment's remote-compile
+    The read index lives on the trailing (sublane, lane) = (8, 128) tile and
+    the base/window index on a *leading* dimension, so the rolling state and
+    every load/store is one full native tile — Mosaic rejects the previous
+    (1, BR) single-sublane layout with an "Invalid relayout … (1,128) ->
+    (8,128)" internal error. A ``fori_loop`` (not a python unroll) keeps the
+    Mosaic program small enough for this environment's remote-compile
     service.
     """
     Wn = L - k + 1
@@ -39,11 +45,16 @@ def _extract_kernel(k: int, L: int, BR: int):
 
     def kernel(bases_ref, hi_ref, lo_ref):
         hi_mask = jnp.uint32(hi_mask_val)
-        zero = jnp.zeros((1, BR), dtype=jnp.uint32)
+        # derive the init state from a real tile: a constant jnp.zeros gets
+        # a *replicated* Mosaic layout, and the loop backedge then needs an
+        # unsupported concrete->replicated relayout ("Invalid relayout ...
+        # replicated in destination but not in source")
+        t0 = bases_ref[0, 0]
+        zero = t0 ^ t0
 
         def body(j, state):
             fhi, flo, rhi, rlo = state
-            b = bases_ref[pl.ds(j, 1), :]
+            b = bases_ref[j, 0]                       # (8, 128) tile
             # forward: shift left 2, append b
             fhi = ((fhi << 2) | (flo >> 30)) & hi_mask
             flo = (flo << 2) | b
@@ -56,8 +67,8 @@ def _extract_kernel(k: int, L: int, BR: int):
             def _():
                 lt = (fhi < rhi) | ((fhi == rhi) & (flo <= rlo))
                 w = j - (k - 1)
-                hi_ref[pl.ds(w, 1), :] = jnp.where(lt, fhi, rhi)
-                lo_ref[pl.ds(w, 1), :] = jnp.where(lt, flo, rlo)
+                hi_ref[w, 0] = jnp.where(lt, fhi, rhi)
+                lo_ref[w, 0] = jnp.where(lt, flo, rlo)
 
             return fhi, flo, rhi, rlo
 
@@ -88,30 +99,35 @@ def extract_canonical_kmers_pallas(
         raise ValueError("pallas extraction kernel supports 17 <= k <= 31")
     R, L = bases.shape
     Wn = L - k + 1
-    BR = LANES * 8
     R_pad = ((R + BR - 1) // BR) * BR
-    # transpose: reads on lanes
+    G = R_pad // BR
+    # transpose: reads on the trailing (group, sublane, lane) axes
     bt = jnp.zeros((L, R_pad), dtype=jnp.uint32)
     bt = bt.at[:, :R].set(bases.astype(jnp.uint32).T)
+    bt = bt.reshape(L, G, SUBLANES, LANES)
 
-    kernel, _ = _extract_kernel(k, L, BR)
-    grid = (R_pad // BR,)
+    kernel, _ = _extract_kernel(k, L)
     hi, lo = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(G,),
         in_specs=[
-            pl.BlockSpec((L, BR), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 1, SUBLANES, LANES), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((Wn, BR), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Wn, BR), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wn, 1, SUBLANES, LANES), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wn, 1, SUBLANES, LANES), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Wn, R_pad), jnp.uint32),
-            jax.ShapeDtypeStruct((Wn, R_pad), jnp.uint32),
+            jax.ShapeDtypeStruct((Wn, G, SUBLANES, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((Wn, G, SUBLANES, LANES), jnp.uint32),
         ],
         interpret=interpret,
     )(bt)
+    hi = hi.reshape(Wn, R_pad)
+    lo = lo.reshape(Wn, R_pad)
 
     # validity in the same (Wn, R_pad) layout
     lens_pad = jnp.zeros((R_pad,), jnp.int32).at[:R].set(lengths)

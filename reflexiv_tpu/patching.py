@@ -34,6 +34,9 @@ import statistics
 from collections import Counter, defaultdict
 from typing import Dict, List, Optional, Tuple
 
+import numpy as np
+
+from .bitpack import rolling_window_values as _rolling_keys
 from .contigs import revcomp_str
 
 log = logging.getLogger("reflexiv_tpu")
@@ -86,6 +89,139 @@ def _map_read(read: str, idx, k: int = SEED_K):
             pos5 = pos - j if strand == 0 else pos + k - 1 + j
             return ci, end, pos5, strand
     return None
+
+
+class _EndIndexArrays:
+    """Numeric end-window seed index: ``keys`` is the sorted uint64 2-bit
+    value of every unambiguous end-window k-mer (both strands), with aligned
+    payload arrays. Same contents as :func:`_end_index`, built with batched
+    window gathers instead of a string-keyed dict (N bases encode as T here,
+    so an N-bearing read seed can hit; the pipeline upstream never emits N)."""
+
+    __slots__ = ("keys", "ci", "end", "pos", "strand")
+
+    def __init__(self, keys, ci, end, pos, strand):
+        self.keys, self.ci, self.end = keys, ci, end
+        self.pos, self.strand = pos, strand
+
+
+def _end_index_arrays(
+    contigs: List[str], k: int = SEED_K, chunk: int = 4096
+) -> Optional[_EndIndexArrays]:
+    """Array equivalent of :func:`_end_index`, including its exact dedup
+    rule: a key whose placements disagree on (contig, end) is dropped; the
+    first placement in scan order (contig asc, head-then-tail, position asc,
+    forward-then-rc) wins otherwise."""
+    from .io import reads_to_matrix
+
+    C = len(contigs)
+    if C == 0:
+        return None
+    w_all = [min(END_WINDOW, len(s)) for s in contigs]
+    regions = (
+        ([contigs[i][: w_all[i]].encode() for i in range(C)],
+         np.zeros(C, np.int64)),
+        ([contigs[i][len(contigs[i]) - w_all[i]:].encode() for i in range(C)],
+         np.asarray([len(s) - w for s, w in zip(contigs, w_all)], np.int64)),
+    )
+    Wg = END_WINDOW - k + 1          # per-region seqno stride (j slots)
+    parts: List[Tuple[np.ndarray, ...]] = []
+    for region, (seqs, bases) in enumerate(regions):
+        for lo in range(0, C, chunk):
+            sl = seqs[lo: lo + chunk]
+            mat, lens = reads_to_matrix(sl)
+            if mat.shape[1] < k:
+                continue
+            fwd, rc = _rolling_keys(mat, k)              # (n, W)
+            W = fwd.shape[1]
+            j = np.arange(W, dtype=np.int64)
+            valid = j[None, :] < (lens[:, None].astype(np.int64) - k + 1)
+            ri, jj = np.nonzero(valid)
+            ci = (lo + ri).astype(np.int64)
+            pos = bases[lo + ri] + jj
+            base_seq = (ci * 2 + region) * np.int64(2 * Wg) + jj * 2
+            for strand, keys in ((0, fwd), (1, rc)):
+                parts.append((
+                    keys[ri, jj], ci, pos,
+                    np.full(len(ri), region, np.int8),
+                    np.full(len(ri), strand, np.int8),
+                    base_seq + strand,
+                ))
+    if not parts:
+        return None
+    keys = np.concatenate([p[0] for p in parts])
+    ci = np.concatenate([p[1] for p in parts])
+    pos = np.concatenate([p[2] for p in parts])
+    end = np.concatenate([p[3] for p in parts])
+    strand = np.concatenate([p[4] for p in parts])
+    seqno = np.concatenate([p[5] for p in parts])
+    order = np.lexsort((seqno, keys))
+    keys, ci, pos, end, strand = (
+        keys[order], ci[order], pos[order], end[order], strand[order])
+    grp_start = np.empty(len(keys), bool)
+    grp_start[0] = True
+    np.not_equal(keys[1:], keys[:-1], out=grp_start[1:])
+    gid = np.cumsum(grp_start) - 1
+    cie = ci * 2 + end
+    first_cie = cie[grp_start][gid]
+    n_groups = int(gid[-1]) + 1
+    disagree = np.zeros(n_groups, bool)
+    np.logical_or.at(disagree, gid, cie != first_cie)
+    keep = grp_start & ~disagree[gid]
+    return _EndIndexArrays(
+        keys[keep], ci[keep], end[keep], pos[keep], strand[keep])
+
+
+def _rc_matrix(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Per-row reverse complement of a padded code matrix (one gather)."""
+    R, L = mat.shape
+    col = lens[:, None].astype(np.int64) - 1 - np.arange(L)[None, :]
+    ok = col >= 0
+    return np.where(
+        ok, 3 - mat[np.arange(R)[:, None], np.clip(col, 0, L - 1)], 0
+    ).astype(np.uint8)
+
+
+def _map_reads_arrays(
+    mat: np.ndarray, lens: np.ndarray, idx: _EndIndexArrays,
+    k: int = SEED_K, stride: int = 7, chunk: int = 1 << 16,
+):
+    """Batched :func:`_map_read`: first strided seed hit per read.
+
+    Returns (ci, end, pos5, strand, mapped) arrays over all reads.
+    """
+    R, L = mat.shape
+    out_ci = np.zeros(R, np.int64)
+    out_end = np.zeros(R, np.int8)
+    out_pos = np.zeros(R, np.int64)
+    out_strand = np.zeros(R, np.int8)
+    mapped = np.zeros(R, bool)
+    if idx is None or len(idx.keys) == 0 or L < k:
+        return out_ci, out_end, out_pos, out_strand, mapped
+    seeds = np.arange(0, L - k + 1, stride, dtype=np.int64)
+    nk = len(idx.keys)
+    for lo in range(0, R, chunk):
+        m = mat[lo: lo + chunk]
+        n = lens[lo: lo + chunk].astype(np.int64)
+        keys = _rolling_keys(m, k, want_rc=False)[0][:, seeds]             # (r, S)
+        valid = (seeds[None, :] < np.maximum(1, n[:, None] - k + 1)) & (
+            seeds[None, :] + k <= n[:, None])
+        p = np.minimum(np.searchsorted(idx.keys, keys), nk - 1)
+        hit = (idx.keys[p] == keys) & valid
+        got = hit.any(axis=1)
+        first = np.argmax(hit, axis=1)
+        rr = np.arange(len(m))
+        e = p[rr, first]
+        j = seeds[first]
+        pos5 = np.where(
+            idx.strand[e] == 0, idx.pos[e] - j, idx.pos[e] + k - 1 + j)
+        sl = slice(lo, lo + len(m))
+        out_ci[sl] = np.where(got, idx.ci[e], 0)
+        out_end[sl] = np.where(got, idx.end[e], 0)
+        out_pos[sl] = np.where(got, pos5, 0)
+        out_strand[sl] = np.where(got, idx.strand[e], 0)
+        mapped[sl] = got
+    return out_ci, out_end, out_pos, out_strand, mapped
 
 
 def _try_overlap_join(a: str, b: str, min_overlap: int) -> Optional[str]:
@@ -174,6 +310,109 @@ def patch_contigs(
     With ``scaffold=True``, supported links lacking an exact overlap are
     joined through a run of ``max(gap_estimate, MIN_GAP_N)`` Ns.
     """
+    from .io import reads_to_matrix
+
+    idx = _end_index_arrays(contigs)
+    m1, l1 = reads_to_matrix([r1.encode() for r1, _ in pairs])
+    m2, l2 = reads_to_matrix([r2.encode() for _, r2 in pairs])
+    c1, _e1, p1, s1, ok1 = _map_reads_arrays(m1, l1, idx)
+    c2, _e2, p2, s2, ok2 = _map_reads_arrays(_rc_matrix(m2, l2), l2, idx)
+    ok = ok1 & ok2
+    len2 = l2.astype(np.int64)
+
+    # same-contig, strand-consistent pairs observe the insert size
+    sm = ok & (c1 == c2) & (s1 == s2)
+    ins = np.where(s1 == 0, p2 + len2 - p1, p1 - p2 + len2)[sm]
+    inserts = [int(x) for x in ins[(ins > 0) & (ins <= 4 * DEFAULT_INSERT)]]
+    ins_med, ins_mad = estimate_insert(inserts)
+
+    # cross-contig pairs vote for the junction their fragment implies
+    x = np.nonzero(ok & (c1 != c2))[0]
+    supported: List[Tuple[Tuple[int, int], Tuple[int, int], int, int]] = []
+    if len(x):
+        clen = np.asarray([len(s) for s in contigs], np.int64)
+        xc1, xp1, xs1 = c1[x], p1[x], s1[x]
+        xc2, xp2, xs2 = c2[x], p2[x], s2[x]
+        xl2 = len2[x]
+        end1 = np.where(xs1 == 0, 1, 0).astype(np.int64)
+        d1 = np.where(xs1 == 0, clen[xc1] - xp1, xp1 + 1)
+        end2 = np.where(xs2 == 0, 0, 1).astype(np.int64)
+        d2 = np.where(xs2 == 0, xp2 + xl2, clen[xc2] - xp2 + xl2 - 1)
+        pa, pb = xc1 * 2 + end1, xc2 * 2 + end2
+        swap = pb < pa
+        pa2 = np.where(swap, pb, pa)
+        pb2 = np.where(swap, pa, pb)
+        packed = (pa2 << np.int64(32)) | pb2
+        gapv = np.int64(ins_med) - d1 - d2
+        uniq, first, inv, cnt = np.unique(
+            packed, return_index=True, return_inverse=True,
+            return_counts=True)
+        order = np.lexsort((gapv, inv))
+        starts = np.zeros(len(uniq), np.int64)
+        np.cumsum(cnt[:-1], out=starts[1:])
+        med = gapv[order][starts + cnt // 2]
+        for u in np.argsort(first, kind="stable"):  # first-seen link order
+            n = int(cnt[u])
+            if n < min_links:
+                continue
+            gap = int(med[u])
+            # implausible geometry: fragment cannot bridge ends further
+            # apart than the insert allows, nor overlap deeper than a
+            # whole end window
+            if gap > ins_med + 3 * ins_mad or gap < -END_WINDOW:
+                continue
+            key = int(uniq[u])
+            a_p, b_p = key >> 32, key & 0xFFFFFFFF
+            supported.append(
+                ((a_p // 2, a_p % 2), (b_p // 2, b_p % 2), n, gap))
+    return _filter_and_join(contigs, supported, min_overlap, scaffold)
+
+
+def _filter_and_join(contigs, supported, min_overlap, scaffold):
+    """Unique-partner filter + join/scaffold execution over supported links
+    (shared by the batched and scalar paths)."""
+    # unique-partner filter: an end may join at most one other end
+    end_use: Counter = Counter()
+    for a, b, _n, _g in supported:
+        end_use[a] += 1
+        end_use[b] += 1
+    supported = [
+        (a, b, n, g) for a, b, n, g in supported
+        if end_use[a] == 1 and end_use[b] == 1
+    ]
+
+    links = [(a[0], a[1], b[0], b[1], n, g) for a, b, n, g in supported]
+    out = list(contigs)
+    dead = set()
+    for (ca, ea), (cb, eb), _n, g in supported:
+        if ca in dead or cb in dead:
+            continue
+        # orient: join tail(a-oriented) -> head(b-oriented)
+        sa = out[ca] if ea == 1 else revcomp_str(out[ca])
+        sb = out[cb] if eb == 0 else revcomp_str(out[cb])
+        joined = _try_overlap_join(sa, sb, min_overlap)
+        if joined is not None:
+            out[ca] = joined
+            dead.add(cb)
+            log.info("patching: joined contig %d and %d (overlap)", ca, cb)
+        elif scaffold:
+            out[ca] = sa + "N" * max(g, MIN_GAP_N) + sb
+            dead.add(cb)
+            log.info(
+                "patching: scaffolded contig %d and %d (gap %d)", ca, cb, g)
+    result = [s for i, s in enumerate(out) if i not in dead]
+    return result, links
+
+
+def patch_contigs_scalar(
+    contigs: List[str],
+    pairs: List[Tuple[str, str]],
+    *,
+    min_links: int = MIN_LINKS,
+    min_overlap: int = MIN_OVERLAP,
+    scaffold: bool = False,
+) -> Tuple[List[str], List[Tuple[int, int, int, int, int, int]]]:
+    """Per-read reference implementation (oracle for the batched path)."""
     idx = _end_index(contigs)
     votes: Counter = Counter()
     gaps: defaultdict = defaultdict(list)
@@ -214,40 +453,7 @@ def patch_contigs(
             ins_med - d1 - d2 for d1, d2 in gaps[(a, b)]
         )
         gap = gap_samples[len(gap_samples) // 2]
-        # implausible geometry: fragment cannot bridge ends further apart
-        # than the insert allows, nor overlap deeper than a whole end window
         if gap > ins_med + 3 * ins_mad or gap < -END_WINDOW:
             continue
         supported.append((a, b, n, gap))
-
-    # unique-partner filter: an end may join at most one other end
-    end_use: Counter = Counter()
-    for a, b, _n, _g in supported:
-        end_use[a] += 1
-        end_use[b] += 1
-    supported = [
-        (a, b, n, g) for a, b, n, g in supported
-        if end_use[a] == 1 and end_use[b] == 1
-    ]
-
-    links = [(a[0], a[1], b[0], b[1], n, g) for a, b, n, g in supported]
-    out = list(contigs)
-    dead = set()
-    for (ca, ea), (cb, eb), _n, g in supported:
-        if ca in dead or cb in dead:
-            continue
-        # orient: join tail(a-oriented) -> head(b-oriented)
-        sa = out[ca] if ea == 1 else revcomp_str(out[ca])
-        sb = out[cb] if eb == 0 else revcomp_str(out[cb])
-        joined = _try_overlap_join(sa, sb, min_overlap)
-        if joined is not None:
-            out[ca] = joined
-            dead.add(cb)
-            log.info("patching: joined contig %d and %d (overlap)", ca, cb)
-        elif scaffold:
-            out[ca] = sa + "N" * max(g, MIN_GAP_N) + sb
-            dead.add(cb)
-            log.info(
-                "patching: scaffolded contig %d and %d (gap %d)", ca, cb, g)
-    result = [s for i, s in enumerate(out) if i not in dead]
-    return result, links
+    return _filter_and_join(contigs, supported, min_overlap, scaffold)

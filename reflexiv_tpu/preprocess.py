@@ -132,29 +132,20 @@ def _window_solidity(mat, lens, k, limbs, counts):
     return solid_w, valid_w, csum
 
 
-def _canon_member(wins: np.ndarray, k: int, solid_sorted: np.ndarray):
-    """Canonical-value set membership for a (..., k) base-code array."""
-    shifts = (np.uint64(2) * np.arange(k - 1, -1, -1, dtype=np.uint64))
-    fwd = np.bitwise_or.reduce(wins.astype(np.uint64) << shifts, axis=-1)
-    rc = np.bitwise_or.reduce(
-        (np.uint64(3) ^ wins[..., ::-1].astype(np.uint64)) << shifts, axis=-1)
-    canon = np.minimum(fwd, rc)
-    pos = np.searchsorted(solid_sorted, canon)
-    pos = np.minimum(pos, len(solid_sorted) - 1) if len(solid_sorted) else pos
-    return (
-        (solid_sorted[pos] == canon) if len(solid_sorted)
-        else np.zeros(canon.shape, bool)
-    )
-
-
 def _fix_pass(
     mat: np.ndarray, lens: np.ndarray, k: int,
     solid_sorted: np.ndarray, limbs, counts, *, chunk: int = 1 << 16,
-) -> int:
+):
     """One simultaneous correction pass: find every position covered by no
-    solid window, test the 3 substitutions for all of them at once (batched
-    window gather + canonical lookup), apply the unique fixes in place.
-    Returns the number of bases fixed."""
+    solid window, test the 3 substitutions for all of them at once, apply
+    the unique fixes in place.
+
+    The k covering windows of a position overlap in one (2k-1)-base
+    segment, so each candidate costs a single (N, 2k-1) gather + one-column
+    substitution + a rolling window-value sweep — no (N, k, k) temporaries.
+    Returns (number fixed, unique fixed row indices)."""
+    from .bitpack import rolling_window_values
+
     R, L = mat.shape
     _solid_w, _valid_w, csum = _window_solidity(mat, lens, k, limbs, counts)
     n = lens.astype(np.int64)
@@ -167,32 +158,41 @@ def _fix_pass(
         (n[:, None] >= k + 1) & (w_hi > w_lo)
     ii, pp = np.nonzero(weak)
     if not len(ii):
-        return 0
+        return 0, np.zeros(0, np.int64)
 
     n_fixed = 0
+    fixed_rows = []
+    seg_w = 2 * k - 1
+    have_solid = len(solid_sorted) > 0
     for lo_c in range(0, len(ii), chunk):
         ic, pc = ii[lo_c: lo_c + chunk], pp[lo_c: lo_c + chunk]
         N = len(ic)
         lo_w = np.maximum(0, pc - k + 1)
         hi_w = np.minimum(lens[ic].astype(np.int64) - k + 1, pc + 1)
-        starts = lo_w[:, None] + np.arange(k)[None, :]            # (N, k)
-        w_ok = starts < hi_w[:, None]
+        # window at segment offset q starts at contig position pc-k+1+q;
+        # valid (fully in-read) windows are exactly those the scalar scan
+        # tests, and their segment columns are all in range (clip only
+        # touches columns belonging to invalid windows)
         cols = np.clip(
-            starts[:, :, None] + np.arange(k)[None, None, :], 0, L - 1)
-        wins = mat[ic[:, None, None], cols]                       # (N, k, k)
-        off = (pc[:, None] - starts)                              # (N, k)
+            (pc - k + 1)[:, None] + np.arange(seg_w)[None, :], 0, L - 1)
+        seg = mat[ic[:, None], cols]                              # (N, 2k-1)
+        q = np.arange(k, dtype=np.int64)[None, :]
+        starts = (pc - k + 1)[:, None] + q
+        w_ok = (starts >= lo_w[:, None]) & (starts < hi_w[:, None])
         orig = mat[ic, pc]
         ok_count = np.zeros(N, np.int8)
         fix_base = np.zeros(N, np.uint8)
-        sub = wins.copy()
-        at_p = np.zeros_like(wins, dtype=bool)
-        np.put_along_axis(
-            at_p, np.clip(off, 0, k - 1)[:, :, None], True, axis=2)
-        at_p &= w_ok[:, :, None]
         for b in range(4):
-            np.copyto(sub, wins)
-            sub[at_p] = b
-            member = _canon_member(sub, k, solid_sorted)          # (N, k)
+            seg[:, k - 1] = b                 # position p is column k-1
+            fwd, rc = rolling_window_values(seg, k)               # (N, k)
+            canon = np.minimum(fwd, rc)
+            if have_solid:
+                pos = np.minimum(
+                    np.searchsorted(solid_sorted, canon),
+                    len(solid_sorted) - 1)
+                member = solid_sorted[pos] == canon
+            else:
+                member = np.zeros(canon.shape, bool)
             all_solid = np.logical_or(member, ~w_ok).all(axis=1)
             cand = all_solid & (orig != b)
             ok_count += cand
@@ -200,7 +200,11 @@ def _fix_pass(
         unique = ok_count == 1
         mat[ic[unique], pc[unique]] = fix_base[unique]
         n_fixed += int(unique.sum())
-    return n_fixed
+        if unique.any():
+            fixed_rows.append(ic[unique])
+    rows = (np.unique(np.concatenate(fixed_rows))
+            if fixed_rows else np.zeros(0, np.int64))
+    return n_fixed, rows
 
 
 def correct_reads(
@@ -224,8 +228,20 @@ def correct_reads(
     solid_sorted, limbs, counts = _solid_table(mat, lens, k, min_cov)
     mat = mat.copy()
     n_fixed = 0
+    rows = None      # None = whole matrix (first round)
     for _ in range(max_rounds):
-        got = _fix_pass(mat, lens, k, solid_sorted, limbs, counts)
+        if rows is None:
+            got, rows = _fix_pass(mat, lens, k, solid_sorted, limbs, counts)
+        else:
+            # corrections only change their own read's windows, so later
+            # rounds need only revisit rows fixed in the previous one
+            if not len(rows):
+                break
+            sub = np.ascontiguousarray(mat[rows])
+            got, sub_rows = _fix_pass(
+                sub, lens[rows], k, solid_sorted, limbs, counts)
+            mat[rows] = sub
+            rows = rows[sub_rows]
         n_fixed += got
         if got == 0:
             break

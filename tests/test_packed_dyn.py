@@ -193,3 +193,81 @@ def test_round_equivalence_large_k(seed):
     out_packed = pd.pdyn_extension_round_with_markers(
         pd.from_dyn(byte), marker, kmin=23, max_sub=94)
     assert canon_rows(out_byte) == canon_rows(pd.to_dyn(out_packed))
+
+
+def _merge_oracle_possible(seq, length, subk, live, i, j):
+    """True if live record j's tail sub-kmer prefixes live record i's head
+    (the gate-free mixed-k merge precondition of
+    ``pdyn_extension_round_with_markers``)."""
+    if not (live[i] and live[j]):
+        return False
+    if subk[j] > subk[i]:
+        return False
+    t0 = length[j] - subk[j]
+    return bytes(seq[j, t0:t0 + subk[j]]) == bytes(seq[i, :subk[j]])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_finished_mask_exact_never_parks_mergeable(seed):
+    """The interval census must keep every record with a real prefix
+    partner, and must park at least everything the narrow census parks."""
+    rng = np.random.default_rng(seed)
+    kmin = 9
+    byte = random_pool(rng, 96, [kmin, 13, 17], cap_len=64)
+    # plant some genuine partners: j's tail copied into i's head
+    seq = np.asarray(byte.seq).copy()
+    length = np.asarray(byte.length)
+    subk = np.asarray(byte.subk)
+    for i, j in ((0, 1), (2, 3), (4, 5)):
+        if subk[j] <= subk[i]:
+            t0 = length[j] - subk[j]
+            seq[i, :subk[j]] = seq[j, t0:t0 + subk[j]]
+    byte = byte._replace(seq=jnp.asarray(seq))
+    p = pd.from_dyn(byte)
+    max_sub = int(np.asarray(byte.subk).max())
+    exact = np.asarray(pd.finished_mask_pdyn_exact(p, max_sub))
+    narrow = np.asarray(pd.finished_mask_pdyn(p, kmin))
+    live = np.asarray(byte.live)
+    n = len(live)
+    for i in range(n):
+        if not live[i]:
+            assert not exact[i]
+            continue
+        mergeable = any(
+            _merge_oracle_possible(seq, length, subk, live, i, j)
+            or _merge_oracle_possible(seq, length, subk, live, j, i)
+            for j in range(n)
+        )
+        if mergeable:
+            assert not exact[i], i
+    # exact parks everything the narrow census parks
+    assert not (narrow & ~exact).any()
+
+
+def test_finished_mask_exact_parks_kmin_collisions():
+    """Two records that share a (kmin-1) window but diverge inside their
+    sub-kmers: the narrow census keeps both forever, the interval census
+    parks them."""
+    kmin = 9
+    gw = kmin - 1
+    n, cap = 8, 48
+    seq = np.zeros((n, cap), np.uint8)
+    length = np.full(n, 20, np.int32)
+    subk = np.full(n, 12, np.int32)   # k=13 records
+    # record 0 head and record 1 tail agree on the first 8 bases but differ
+    # at base 8 (inside the 12-base sub-kmer) => no merge is possible
+    common = np.array([0, 1, 2, 3, 0, 1, 2, 3], np.uint8)
+    seq[0, :20] = np.concatenate([common, [1], np.zeros(11, np.uint8)])
+    tail = np.concatenate([common, [2], [3, 3, 3]])
+    seq[1, :20] = np.concatenate([np.zeros(8, np.uint8), tail])
+    live = np.zeros(n, bool)
+    live[:2] = True
+    byte = DynRecords(
+        jnp.asarray(seq), jnp.asarray(length), jnp.asarray(subk),
+        jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32), jnp.asarray(live),
+    )
+    p = pd.from_dyn(byte)
+    narrow = np.asarray(pd.finished_mask_pdyn(p, kmin))
+    exact = np.asarray(pd.finished_mask_pdyn_exact(p, 12))
+    assert not narrow[0] and not narrow[1]   # kmin-1 collision keeps both
+    assert exact[0] and exact[1]             # divergence inside subk parks

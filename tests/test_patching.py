@@ -141,3 +141,33 @@ def test_apply_patching_scaffolds_meta_contigs(tmp_path):
     assert len(out) == 1
     header, seq = out[0]
     assert header.startswith(">Contig-") and "N" in seq
+
+
+def test_patching_batched_matches_scalar():
+    """The array front-end (numeric end index + batched seed mapping +
+    vectorized voting) must reproduce the string/dict reference path
+    exactly: same joins, same link table, on a messy multi-contig case."""
+    from reflexiv_tpu.patching import patch_contigs_scalar
+
+    rng = random.Random(13)
+    genome = "".join(rng.choice("ACGT") for _ in range(5000))
+    cuts = [0, 900, 1700, 2600, 3400, 4200, 5000]
+    contigs = []
+    for i in range(len(cuts) - 1):
+        c = genome[max(0, cuts[i] - 20): cuts[i + 1]]  # 20 bp overlaps
+        if i % 2:
+            c = oracle.revcomp(c)
+        contigs.append(c)
+    pairs = _pairs_from(genome, rng, n=600, insert=260, rl=70)
+    # some junk pairs that map nowhere / half-map
+    for _ in range(60):
+        pairs.append((
+            "".join(rng.choice("ACGT") for _ in range(70)),
+            "".join(rng.choice("ACGT") for _ in range(70)),
+        ))
+    for scaffold in (False, True):
+        got = patch_contigs(contigs, pairs, scaffold=scaffold)
+        want = patch_contigs_scalar(contigs, pairs, scaffold=scaffold)
+        assert got == want
+    joined, links = patch_contigs(contigs, pairs)
+    assert len(links) >= 2  # the case actually exercises joins
