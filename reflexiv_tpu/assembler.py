@@ -44,6 +44,7 @@ def initial_records_from_counts(
         jnp.asarray(counts),
         k=params.k,
         min_error=params.min_error_coverage,
+        bubble=params.bubble,
     )
     n_live = live_count(recs)
     cap = max(next_pow2(n_live), 16)

@@ -68,7 +68,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="min contig length to report")
     p.add_argument("-maxiter", type=int, default=150)
     p.add_argument("-miniter", type=int, default=15)
-    p.add_argument("-bubble", action="store_true", default=True)
+    p.add_argument("-bubble", dest="bubble", action="store_false",
+                   default=True,
+                   help="set to NOT remove bubbles: skips both fork-filter "
+                        "stages (Parameter.java:209-210 disable switch)")
     p.add_argument("-stitch", action="store_true",
                    help="disable stitch k-mers (reference STITCH option "
                         "is also a disable switch)")
@@ -121,6 +124,7 @@ def params_from_args(args: argparse.Namespace) -> Params:
         min_contig=args.mincontig,
         max_iterations=args.maxiter,
         min_iterations=args.miniter,
+        bubble=args.bubble,
         front_clip=args.clipf,
         end_clip=args.clipe,
         min_read_length=args.minlength,

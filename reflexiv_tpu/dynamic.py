@@ -144,7 +144,7 @@ def sort_k_records(
     """
     recs, _marker = build_initial_records(
         jnp.asarray(kmer_limbs), jnp.asarray(counts), k=k,
-        min_error=params.min_error_for_k(k),
+        min_error=params.min_error_for_k(k), bubble=params.bubble,
     )
     live = np.asarray(recs.live)
     bases = np.asarray(recs.seq)[live][:, :k]
@@ -171,6 +171,7 @@ def sort_k_records_sharded(
         build_initial_records_sharded(
             limbs, counts, keep, k=k,
             min_error=params.min_error_for_k(k), mesh=mesh,
+            bubble=params.bubble,
         )
     )
     assert int(jnp.sum(govf)) == 0, "fork-filter bucket overflow"

@@ -94,13 +94,14 @@ def _fork_pass(
     return sbases, scover, winner, attr, scarry
 
 
-@functools.partial(jax.jit, static_argnames=("k", "min_error"))
+@functools.partial(jax.jit, static_argnames=("k", "min_error", "bubble"))
 def build_initial_records(
     kmer_limbs: jnp.ndarray,  # (U, W) uint32 canonical k-mers
     counts: jnp.ndarray,      # (U,) int32
     *,
     k: int,
     min_error: int,
+    bubble: bool = True,
 ) -> Tuple[Records, jnp.ndarray]:
     """Counted canonical k-mers -> fork-filtered two-strand RDK record set.
 
@@ -115,6 +116,17 @@ def build_initial_records(
     bases = jnp.concatenate([bases_f, bases_r], axis=0)   # (2U, k)
     cover = jnp.concatenate([counts, counts], axis=0).astype(jnp.int32)
     valid = jnp.ones(bases.shape[0], dtype=bool)
+
+    if not bubble:
+        # ``-bubble`` skips both fork-filter stages; records enter random
+        # reflection with free coverage attrs on both ends (the
+        # ``param.bubble`` guard, ``ReflexivDSMain.java:231-253``)
+        recs = make_records(
+            seq=bases,
+            length=jnp.full(bases.shape[0], k, dtype=jnp.int32),
+            left=cover, right=cover, live=valid,
+        )
+        return recs, jnp.full(bases.shape[0], 2, dtype=jnp.int32)
 
     # pass 1: prefix groups -> right-end attr
     # (DSFilterForkSubKmerWithErrorCorrection)

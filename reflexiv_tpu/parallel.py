@@ -322,7 +322,8 @@ def extension_round_sharded(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "min_error", "mesh", "cap_factor")
+    jax.jit,
+    static_argnames=("k", "min_error", "mesh", "cap_factor", "bubble"),
 )
 def build_initial_records_sharded(
     limbs: jnp.ndarray,   # (N, W) uint32, sharded over rows (count output)
@@ -333,6 +334,7 @@ def build_initial_records_sharded(
     min_error: int,
     mesh: Mesh,
     cap_factor: int = 2,
+    bubble: bool = True,
 ):
     """Sharded RC expansion + both-direction fork filtering
     (:func:`reflexiv_tpu.graph.build_initial_records` over the mesh).
@@ -364,6 +366,15 @@ def build_initial_records_sharded(
             for i in range(1, key.shape[1]):
                 h = mix32(h ^ key[:, i])
             return (h % jnp.uint32(n)).astype(jnp.int32)
+
+        if not bubble:
+            # ``-bubble``: no fork filtering -> no exchanges; records stay
+            # on their shard with free coverage attrs (the ``param.bubble``
+            # guard, ``ReflexivDSMain.java:231-253``)
+            length = jnp.where(valid, k, 0).astype(jnp.int32)
+            zero_ovf = jnp.zeros((1,), jnp.int32)
+            n_live = jnp.sum(valid.astype(jnp.int32))[None]
+            return (bases, length, cover, cover, valid, zero_ovf, n_live)
 
         cap = max(1, cap_factor * 2 * U // n)
         # pass 1: prefix groups -> right-end attr
@@ -587,7 +598,7 @@ def assemble_reads_sharded(
         build_initial_records_sharded(
             limbs, counts, keep, k=params.k,
             min_error=params.min_error_coverage, mesh=mesh,
-            cap_factor=cap_factor,
+            cap_factor=cap_factor, bubble=params.bubble,
         )
     )
     assert int(jnp.sum(govf)) == 0, "fork-filter bucket overflow"

@@ -73,3 +73,36 @@ def test_random_reads_with_rc():
         reads.append(r)
     _check(reads, k=21, min_cov=1, min_error=8)
     _check(reads, k=17, min_cov=2, min_error=8)
+
+
+def test_build_initial_records_bubble_off():
+    """-bubble (bubble=False) skips both fork-filter passes: every strand
+    row stays live with free coverage attrs (ReflexivDSMain.java:231-253
+    guard)."""
+    import random
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from reflexiv_tpu import count as count_mod
+    from reflexiv_tpu.graph import build_initial_records
+    from reflexiv_tpu.io import reads_to_matrix
+
+    rng = random.Random(3)
+    genome = "".join(rng.choice("ACGT") for _ in range(200))
+    reads = [genome[i:i + 60] for i in range(0, 140, 7)]
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    limbs, counts = count_mod.count_kmers(mat, lens, k=21, min_cov=1)
+    recs, marker = build_initial_records(
+        jnp.asarray(limbs), jnp.asarray(counts), k=21, min_error=8,
+        bubble=False)
+    assert bool(recs.live.all())
+    assert recs.live.shape[0] == 2 * limbs.shape[0]
+    cov2 = np.concatenate([counts, counts])
+    assert np.array_equal(np.asarray(recs.left), cov2)
+    assert np.array_equal(np.asarray(recs.right), cov2)
+    # filtered run marks fork losers dead / attrs negative
+    recs_f, _ = build_initial_records(
+        jnp.asarray(limbs), jnp.asarray(counts), k=21, min_error=8,
+        bubble=True)
+    assert (np.asarray(recs_f.left) < 0).any()
