@@ -260,6 +260,7 @@ def assemble_reads(
         min_cov=params.min_kmer_coverage,
         max_cov=params.max_kmer_coverage,
         front_clip=params.front_clip,
+        partitions=params.partitions,
         end_clip=params.end_clip,
     )
     log.info("counted %d solid canonical %d-mers", len(counts), params.k)

@@ -90,7 +90,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("-scaffold", action="store_true",
                    help="meta: with -patch, execute overlap-less supported "
                         "links as N-gap scaffolds (implies -patch)")
-    p.add_argument("-partition", type=int, default=0)
+    p.add_argument("-partition", type=int, default=0,
+                   help="re-partition number (>1 forces chunked streaming "
+                        "counting in that many row batches, the analog of "
+                        "the reference's repartition(n) memory control)")
     p.add_argument("-partitionredu", type=int, default=0,
                    help="shuffle partition count (informational; sharding "
                         "is mesh-driven)")

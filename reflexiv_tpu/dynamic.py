@@ -107,17 +107,23 @@ STREAM_WINDOW_LIMIT = 1 << 27
 
 
 def count_kmers_auto(bases, lengths, *, k, min_cov, max_cov,
-                     front_clip=0, end_clip=0):
+                     front_clip=0, end_clip=0, partitions=0):
     """Single-pass counting when the window volume fits comfortably; chunked
-    streaming (:func:`reflexiv_tpu.count.count_kmers_streaming`) beyond."""
+    streaming (:func:`reflexiv_tpu.count.count_kmers_streaming`) beyond.
+
+    ``partitions`` > 0 (the ``-partition`` flag, the reference's
+    ``repartition(n)`` memory-granularity control) forces streaming in that
+    many row chunks regardless of volume."""
     R, L = bases.shape
     n_windows = R * max(L - k + 1, 0)
-    if n_windows <= STREAM_WINDOW_LIMIT:
+    if partitions <= 1 and n_windows <= STREAM_WINDOW_LIMIT:
         return count_mod.count_kmers(
             bases, lengths, k=k, min_cov=min_cov, max_cov=max_cov,
             front_clip=front_clip, end_clip=end_clip,
         )
     rows = max(1, STREAM_WINDOW_LIMIT // max(L - k + 1, 1))
+    if partitions > 1:
+        rows = min(rows, -(-R // partitions))
 
     def chunks():
         for lo in range(0, R, rows):
@@ -979,6 +985,7 @@ def assemble_dynamic(
                     min_cov=params.min_kmer_coverage,
                     max_cov=params.max_kmer_coverage,
                     front_clip=params.front_clip, end_clip=params.end_clip,
+                    partitions=params.partitions,
                 )
                 sorted_sets[k] = sort_k_records(limbs, counts, k, params)
             log.info("k=%d: %d sorted records", k, len(sorted_sets[k][0]))
@@ -1136,6 +1143,7 @@ def dynamic_reduction(params: Params, *, seed: int = 0) -> None:
                 m, l, k=k, min_cov=params.min_kmer_coverage,
                 max_cov=params.max_kmer_coverage,
                 front_clip=params.front_clip, end_clip=params.end_clip,
+                partitions=params.partitions,
             )
             write_count_table(cdir, limbs, counts, k)
         sorted_sets[k] = sort_k_records(limbs, counts, k, params)

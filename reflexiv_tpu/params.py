@@ -68,7 +68,8 @@ class Params:
     gzip_output: bool = False
 
     # execution
-    partitions: int = 0               # informational; sharding is mesh-driven
+    partitions: int = 0               # -partition: >1 forces chunked
+                                      # streaming counting (memory bound)
     shuffle_partitions: int = 0       # -partitionredu (Spark shuffle width;
                                       # informational here)
     cache: bool = False

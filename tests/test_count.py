@@ -63,3 +63,27 @@ def test_max_coverage_band():
     want = oracle_count(reads, k, min_cov=1, max_cov=4)
     assert got == want
     assert all(c <= 4 for c in got.values())
+
+
+def test_partition_flag_forces_streaming_same_result():
+    """-partition N chunks the counting pass; the merged table must equal
+    the single-pass table."""
+    import random
+
+    import numpy as np
+
+    from reflexiv_tpu.dynamic import count_kmers_auto
+    from reflexiv_tpu.io import reads_to_matrix
+
+    rng = random.Random(4)
+    genome = "".join(rng.choice("ACGT") for _ in range(400))
+    reads = [genome[i:i + 70] for i in range(0, 330, 3)]
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    one = count_kmers_auto(mat, lens, k=21, min_cov=2, max_cov=10**7)
+    four = count_kmers_auto(
+        mat, lens, k=21, min_cov=2, max_cov=10**7, partitions=4)
+
+    def table(t):
+        return sorted(map(tuple, np.c_[t[0], t[1]].tolist()))
+
+    assert table(one) == table(four)
