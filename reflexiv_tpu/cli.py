@@ -162,11 +162,36 @@ def _load_read_matrix(params: Params):
 
 
 def cmd_counter(params: Params, seed: int) -> None:
-    """K-mer counting only (MainOfCounter -> ReflexivDataFrameCounter)."""
+    """K-mer counting only (MainOfCounter -> ReflexivDataFrameCounter).
+
+    With ``-frag``/``-contig``, also counts k-mers from the fragment
+    contigs (``ReflexivDataFrameReAssembleCounter``: contig input at
+    ``:138-149``, contig k-mer extraction
+    ``ReverseComplementKmerBinaryExtractionFromContig``): contigs enter the
+    same pass as (k-1)-overlap segments, so their k-mer multiset is exact.
+    """
     from .count import count_kmers
     from .kmer_io import write_count_table
 
     mat, lens = _load_read_matrix(params)
+    if params.input_contig:
+        from .io import contigs_to_segment_matrix, expand_paths, iter_fasta
+
+        frags = [
+            s.decode()
+            for _name, s in iter_fasta(expand_paths(params.input_contig))
+        ]
+        fmat, flens = contigs_to_segment_matrix(
+            frags, k=params.k, seg=max(mat.shape[1], 256))
+        import numpy as _np
+
+        L = max(mat.shape[1], fmat.shape[1])
+        mat = _np.concatenate([
+            _np.pad(mat, ((0, 0), (0, L - mat.shape[1]))),
+            _np.pad(fmat, ((0, 0), (0, L - fmat.shape[1]))),
+        ])
+        lens = _np.concatenate([lens, flens])
+        log.info("injected %d fragment segments into counting", len(flens))
     limbs, counts = count_kmers(
         mat, lens, k=params.k,
         min_cov=params.min_kmer_coverage, max_cov=params.max_kmer_coverage,

@@ -123,6 +123,37 @@ def load_reads_filtered(pattern: str, params) -> Tuple[np.ndarray, np.ndarray]:
     return mat, lens
 
 
+def contigs_to_segment_matrix(
+    contigs: Sequence[str], *, k: int, seg: int = 2048
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Contigs -> fixed-width row matrix of (k-1)-overlap segments.
+
+    Splitting long sequences into segments overlapping by k-1 bases
+    preserves the k-mer multiset exactly, so arbitrarily long contigs can
+    enter the fixed-shape counting pass (the matrix analog of
+    ``ReverseComplementKmerBinaryExtractionFromContig``,
+    ``ReflexivDataFrameReAssembleCounter.java:149``).
+    """
+    seg = max(seg, 2 * k)
+    step = seg - (k - 1)
+    pieces: List[bytes] = []
+    for s in contigs:
+        if len(s) < k + 2:
+            continue  # <2 k-mers: below the pass's read filter, like reads
+        b = s.encode()
+        starts = list(range(0, max(len(b) - (k - 1), 1), step))
+        segs = [b[lo: lo + seg] for lo in starts]
+        if len(segs) >= 2 and len(segs[-1]) < k + 2:
+            # a tail shorter than the read filter's k+2 floor would drop its
+            # k-mers; absorb it into the previous segment instead
+            segs[-2] = b[starts[-2]:]
+            segs.pop()
+        pieces.extend(segs)
+    if not pieces:
+        return np.zeros((0, seg), np.uint8), np.zeros(0, np.int32)
+    return reads_to_matrix(pieces)
+
+
 def wrap_sequence(seq: str, width: int = 100) -> str:
     """100-column FASTA wrapping, as ``changeLine``
     (``ReflexivDSMain.java:773-794``)."""

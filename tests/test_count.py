@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from reflexiv_tpu import bitpack, count
@@ -87,3 +88,81 @@ def test_partition_flag_forces_streaming_same_result():
         return sorted(map(tuple, np.c_[t[0], t[1]].tolist()))
 
     assert table(one) == table(four)
+
+
+def test_contig_segment_matrix_preserves_kmer_multiset():
+    """Splitting contigs into (k-1)-overlap segments must count exactly the
+    same canonical k-mer multiset as the whole contigs."""
+    import random
+    from collections import Counter
+
+    import oracle
+    from reflexiv_tpu.count import count_kmers
+    from reflexiv_tpu.io import contigs_to_segment_matrix
+
+    rng = random.Random(11)
+    k = 21
+    contigs = [
+        "".join(rng.choice("ACGT") for _ in range(n))
+        for n in (5000, 301, 77, k + 2, k + 1, 10)  # incl. filtered shorts
+    ]
+    mat, lens = contigs_to_segment_matrix(contigs, k=k, seg=256)
+    limbs, counts = count_kmers(mat, lens, k=k, min_cov=1)
+    want = Counter()
+    for c in contigs:
+        if len(c) < k + 2:
+            continue
+        for i in range(len(c) - k + 1):
+            want[oracle.canonical(c[i:i + k])] += 1
+    import numpy as np
+
+    from reflexiv_tpu import bitpack
+
+    got = Counter()
+    for row, n in zip(limbs, counts):
+        s = bitpack.decode_to_str(
+            np.asarray(bitpack.unpack_bases(row, k)))
+        got[s] += int(n)
+    assert got == want
+
+
+@pytest.mark.slow
+def test_counter_cli_with_fragments(tmp_path):
+    """`counter -frag` counts read AND fragment k-mers
+    (ReflexivDataFrameReAssembleCounter)."""
+    import gzip
+    import random
+    import subprocess
+    import sys
+
+    rng = random.Random(5)
+    genome = "".join(rng.choice("ACGT") for _ in range(300))
+    reads = [genome[i:i + 60] for i in range(0, 200, 5)]
+    with open(tmp_path / "reads.fq", "w") as fh:
+        for i, r in enumerate(reads):
+            fh.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+    with open(tmp_path / "frags.fa", "w") as fh:
+        fh.write(f">f0\n{genome[180:290]}\n")
+    env = dict(JAX_PLATFORMS="cpu", PATH="/usr/bin:/bin",
+               HOME="/root")
+    out = subprocess.run(
+        [sys.executable, "-m", "reflexiv_tpu.cli", "counter",
+         "-fastq", str(tmp_path / "reads.fq"),
+         "-frag", str(tmp_path / "frags.fa"),
+         "-kmer", "21", "-cover", "1",
+         "-outfile", str(tmp_path / "out")],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    import glob
+
+    files = glob.glob(str(tmp_path / "out" / "Count_21" / "part*"))
+    assert files
+    opener = gzip.open if files[0].endswith(".gz") else open
+    with opener(files[0], "rt") as fh:
+        table = dict(
+            line.strip().split(",") for line in fh if line.strip())
+    # a k-mer present only in the fragment (not covered by reads) counted
+    import oracle
+    frag_only = oracle.canonical(genome[265:286])
+    assert frag_only in table
