@@ -264,4 +264,12 @@ def assemble_reads(
         end_clip=params.end_clip,
     )
     log.info("counted %d solid canonical %d-mers", len(counts), params.k)
-    return assemble_from_counts(kmers, counts, params, seed=seed)
+    from . import metrics
+
+    met = metrics.current()
+    met.lap("run/counting")
+    met.set("run/solid_kmers", len(counts))
+    out = assemble_from_counts(kmers, counts, params, seed=seed)
+    met.lap("run/assembly")
+    met.set("run/contigs", len(out))
+    return out

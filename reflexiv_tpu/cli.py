@@ -356,8 +356,15 @@ def main(argv=None) -> int:
     params.validate()
 
     t0 = time.time()
+    from . import metrics
+
+    m = metrics.reset()
     handler = globals()[f"cmd_{args.command}"]
-    handler(params, args.seed)
+    with m.stage(args.command):
+        handler(params, args.seed)
+    if params.output_path:
+        path = m.write(params.output_path)
+        log.info("metrics written to %s", path)
     log.info("%s finished in %.1f s", args.command, time.time() - t0)
     return 0
 

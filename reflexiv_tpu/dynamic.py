@@ -952,6 +952,11 @@ def assemble_dynamic(
     if resume_idx >= 0 and resume_idx < 4:
         pool = ckpt.load_records(workdir, stages[resume_idx])
 
+    from . import metrics
+
+    met = metrics.current()
+    met.lap_start()
+
     if resume_idx < 0:
         # count + sort each k; -accurate adds mercy k-mers per k
         # (Pipelines.java:1388-1391)
@@ -994,6 +999,7 @@ def assemble_dynamic(
         )
         if workdir:
             ckpt.save_records(workdir, "00sorted", pool)
+        met.lap("meta/00count_sort")
 
     if resume_idx < 1:
         # pairwise reduction along the k ladder (Pipelines.java:1315-1737)
@@ -1010,12 +1016,15 @@ def assemble_dynamic(
         )
         if workdir:
             ckpt.save_records(workdir, "01reduced", pool)
+        met.lap("meta/01reduce")
 
     if resume_idx < 2:
         pool = run_dyn_extension(
             pool, params, kmin=kmin, kmax=kmax, seed=seed, mesh=mesh)
         if workdir:
             ckpt.save_records(workdir, "02extended", pool)
+        met.lap("meta/02extend")
+        met.set("meta/live_after_extension", int(np.sum(np.asarray(pool.live))))
 
     if resume_idx < 3:
         if os.environ.get("REFLEXIV_FAST_FIXING") == "1" or kmax < 32:
@@ -1027,6 +1036,7 @@ def assemble_dynamic(
                 pool, params, kmax=kmax, seed=seed + 1000, mesh=mesh)
         if workdir:
             ckpt.save_records(workdir, "03fixed", pool)
+        met.lap("meta/03fixing")
 
     if resume_idx < 4:
         seq, length, subk, left, right, live = (np.asarray(a) for a in pool)
@@ -1071,6 +1081,8 @@ def assemble_dynamic(
         ]
         if workdir:
             ckpt.save_contigs_attrs(workdir, "04contigs", deduped)
+        met.lap("meta/04finalize")
+        met.set("meta/contigs", len(deduped))
     else:
         deduped = ckpt.load_contigs_attrs(workdir, "04contigs")
 
