@@ -12,7 +12,9 @@
 #include <zlib.h>
 
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -136,6 +138,144 @@ int64_t rfx_load(const char* path, int fmt, uint8_t* codes, int32_t* lens,
   }
   gzclose(f);
   return n;
+}
+
+// ---------------------------------------------------------------------------
+// Splittable multithreaded ingest for PLAIN (uncompressed) FASTQ — the
+// hadoop-4mc analog (splittable parallel file reads,
+// ReflexivDataFrameCounter.java:160-176): byte-range splits aligned to
+// record boundaries, each split parsed by its own thread. Gzip streams are
+// not splittable; multi-file parallelism covers those (see native.py).
+//
+// Record-boundary alignment: a line L is a FASTQ header iff L starts with
+// '@' and the line two below starts with '+' (a quality line may start with
+// '@', but then two lines below is a sequence line, never '+').
+
+// Compute nsplits aligned start offsets for `path` (plain FASTQ).
+// aligned[] receives nsplits+1 offsets (last = file size).
+// Returns 0 on success, <0 on error.
+int rfx_fastq_splits(const char* path, int64_t nsplits, int64_t* aligned) {
+  FILE* f = std::fopen(path, "rb");
+  if (f == nullptr) return -1;
+  std::fseek(f, 0, SEEK_END);
+  int64_t size = std::ftell(f);
+  std::vector<char> buf(1 << 20);
+  for (int64_t i = 0; i < nsplits; ++i) {
+    int64_t target = size * i / nsplits;
+    if (i == 0) {
+      aligned[0] = 0;
+      continue;
+    }
+    std::fseek(f, (long)target, SEEK_SET);
+    if (target > 0 && std::fgets(buf.data(), (int)buf.size(), f) == nullptr) {
+      aligned[i] = size;
+      continue;
+    }
+    // read ahead a window of lines, recording their offsets
+    int64_t offs[8];
+    char c0[8];
+    char c_next;
+    int got = 0;
+    for (; got < 8; ++got) {
+      offs[got] = std::ftell(f);
+      if (std::fgets(buf.data(), (int)buf.size(), f) == nullptr) break;
+      c0[got] = buf[0];
+    }
+    int64_t start = size;
+    for (int j = 0; j + 2 < got; ++j) {
+      if (c0[j] == '@' && c0[j + 2] == '+') {
+        start = offs[j];
+        break;
+      }
+    }
+    // suppress unused warning path
+    c_next = 0;
+    (void)c_next;
+    aligned[i] = start;
+  }
+  aligned[nsplits] = size;
+  // starts must be monotone (a split window may overrun the next target)
+  for (int64_t i = 1; i <= nsplits; ++i)
+    if (aligned[i] < aligned[i - 1]) aligned[i] = aligned[i - 1];
+  std::fclose(f);
+  return 0;
+}
+
+namespace {
+
+// Parse records whose header offset lies in [lo, hi); returns count and max
+// sequence length, and (when codes != nullptr) decodes into rows starting
+// at row0.
+void parse_split(const char* path, int64_t lo, int64_t hi, uint8_t* codes,
+                 int32_t* lens, int64_t stride, int64_t row0, int64_t* n_out,
+                 int64_t* mx_out) {
+  FILE* f = std::fopen(path, "rb");
+  int64_t n = 0, mx = 0;
+  if (f != nullptr) {
+    std::fseek(f, (long)lo, SEEK_SET);
+    std::vector<char> line(1 << 20);
+    int64_t pos = lo;
+    int phase = 0;  // 0=header 1=seq 2=plus 3=qual
+    while (pos < hi && std::fgets(line.data(), (int)line.size(), f)) {
+      size_t len = std::strlen(line.data());
+      if (phase == 1) {
+        size_t sl = len;
+        while (sl > 0 && (line[sl - 1] == '\n' || line[sl - 1] == '\r')) --sl;
+        if ((int64_t)sl > mx) mx = (int64_t)sl;
+        if (codes != nullptr) {
+          int64_t w = (int64_t)sl;
+          if (w > stride) w = stride;
+          uint8_t* row = codes + (row0 + n) * stride;
+          for (int64_t i = 0; i < w; ++i)
+            row[i] = kCodes.t[(uint8_t)line[i]];
+          lens[row0 + n] = (int32_t)w;
+        }
+        ++n;
+      }
+      phase = (phase + 1) % 4;
+      pos += (int64_t)len;
+    }
+    std::fclose(f);
+  }
+  *n_out = n;
+  *mx_out = mx;
+}
+
+}  // namespace
+
+// Scan all splits in parallel: counts[] and maxlens[] get one entry per
+// split. Returns 0 on success.
+int rfx_fastq_scan_mt(const char* path, const int64_t* aligned,
+                      int64_t nsplits, int64_t* counts, int64_t* maxlens) {
+  std::vector<std::thread> ts;
+  for (int64_t i = 0; i < nsplits; ++i) {
+    ts.emplace_back([=]() {
+      parse_split(path, aligned[i], aligned[i + 1], nullptr, nullptr, 0, 0,
+                  &counts[i], &maxlens[i]);
+    });
+  }
+  for (auto& t : ts) t.join();
+  return 0;
+}
+
+// Decode all splits in parallel into a preallocated (total x stride) matrix;
+// row_offsets[] gives each split's first output row (prefix sums of the
+// scan counts). Returns total records decoded.
+int64_t rfx_fastq_load_mt(const char* path, const int64_t* aligned,
+                          const int64_t* row_offsets, int64_t nsplits,
+                          uint8_t* codes, int32_t* lens, int64_t stride) {
+  std::vector<std::thread> ts;
+  std::vector<int64_t> ns(nsplits), mxs(nsplits);
+  for (int64_t i = 0; i < nsplits; ++i) {
+    ts.emplace_back([=, &ns, &mxs]() {
+      parse_split(path, aligned[i], aligned[i + 1], codes, lens, stride,
+                  row_offsets[i], &ns[i], &mxs[i]);
+    });
+  }
+  for (auto& t : ts) t.join();
+  int64_t total = 0;
+  for (int64_t i = 0; i < nsplits; ++i) total += ns[i];
+  return total;
 }
 
 // Pair overlap merge (flash equivalent). For each pair i, finds the overlap

@@ -78,6 +78,22 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.rfx_fastq_splits.restype = ctypes.c_int
+    lib.rfx_fastq_splits.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.rfx_fastq_scan_mt.restype = ctypes.c_int
+    lib.rfx_fastq_scan_mt.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.rfx_fastq_load_mt.restype = ctypes.c_int64
+    lib.rfx_fastq_load_mt.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+    ]
     lib.rfx_merge_pairs.restype = None
     lib.rfx_merge_pairs.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
@@ -104,33 +120,117 @@ def _scan(lib, path: str, fmt: int) -> Tuple[int, int]:
     return int(n.value), int(mx.value)
 
 
+SPLIT_MIN_BYTES = 32 << 20   # split single plain FASTQ files above this
+_N_THREADS = max(2, min(16, os.cpu_count() or 2))
+
+
+def _is_plain_fastq(path: str) -> bool:
+    if path.endswith(".gz"):
+        return False
+    try:
+        with open(path, "rb") as fh:
+            return fh.read(1) == b"@"
+    except OSError:
+        return False
+
+
+def _splits_of(lib, path: str, nsplits: int) -> np.ndarray:
+    aligned = np.zeros(nsplits + 1, np.int64)
+    rc = lib.rfx_fastq_splits(
+        path.encode(), nsplits,
+        aligned.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc != 0:
+        raise OSError(f"native split scan failed for {path}")
+    return aligned
+
+
 def load_reads_native(
-    paths: List[str], fmt: int = 0
+    paths: List[str], fmt: int = 0, threads: int = 0
 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """Decode FASTQ (fmt=0) / FASTA (fmt=1) files into (codes, lens).
 
+    Parallel ingest (the hadoop-4mc splittable-read analog,
+    ``ReflexivDataFrameCounter.java:160-176``): files decode concurrently on
+    a thread pool (the C calls release the GIL), and a large *plain* FASTQ
+    file is additionally byte-range split at record boundaries and parsed by
+    multiple threads (``rfx_fastq_splits`` / ``rfx_fastq_load_mt``). Gzip
+    streams are not splittable — multi-file input is their parallel axis,
+    exactly as 4mc pre-splitting was the reference's.
+
     Returns None when the native library is unavailable.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     lib = _get_lib()
     if lib is None:
         return None
-    scans = [_scan(lib, p, fmt) for p in paths]
-    total = sum(n for n, _ in scans)
-    stride = max((m for _, m in scans), default=0)
+    threads = threads or _N_THREADS
+
+    split_paths = {}
+    if fmt == 0:
+        for p in paths:
+            if _is_plain_fastq(p) and os.path.getsize(p) >= SPLIT_MIN_BYTES:
+                split_paths[p] = _splits_of(lib, p, threads)
+
+    def scan_one(path):
+        if path in split_paths:
+            a = split_paths[path]
+            ns = len(a) - 1
+            counts = np.zeros(ns, np.int64)
+            maxlens = np.zeros(ns, np.int64)
+            lib.rfx_fastq_scan_mt(
+                path.encode(),
+                a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), ns,
+                counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                maxlens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+            return int(counts.sum()), int(maxlens.max(initial=0)), counts
+        n, mx = _scan(lib, path, fmt)
+        return n, mx, None
+
+    with ThreadPoolExecutor(max_workers=threads) as pool:
+        scans = list(pool.map(scan_one, paths))
+
+    total = sum(n for n, _m, _c in scans)
+    stride = max((m for _n, m, _c in scans), default=0)
     codes = np.zeros((total, stride), dtype=np.uint8)
     lens = np.zeros(total, dtype=np.int32)
-    at = 0
-    for path, (n, _) in zip(paths, scans):
-        got = lib.rfx_load(
-            path.encode(), fmt,
-            codes[at:].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            lens[at:].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            n, stride,
-        )
+    starts = np.cumsum([0] + [n for n, _m, _c in scans])
+
+    def load_one(i):
+        path = paths[i]
+        n, _mx, counts = scans[i]
+        at = int(starts[i])
+        if counts is not None:
+            a = split_paths[path]
+            row_off = at + np.concatenate(
+                [[0], np.cumsum(counts[:-1])]).astype(np.int64)
+            got = lib.rfx_fastq_load_mt(
+                path.encode(),
+                a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                row_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(a) - 1,
+                codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                stride,
+            )
+        else:
+            got = lib.rfx_load(
+                path.encode(), fmt,
+                codes[at:].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                lens[at:].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                n, stride,
+            )
         if got < 0:
             raise OSError(f"native load failed for {path}")
-        at += int(got)
-    return codes[:at], lens[:at]
+        return int(got)
+
+    with ThreadPoolExecutor(max_workers=threads) as pool:
+        gots = list(pool.map(load_one, range(len(paths))))
+    at = sum(gots)
+    if at != total:
+        # counts and rows must agree; fall back to dense repack on mismatch
+        raise OSError(f"native load row mismatch for {paths}")
+    return codes, lens
 
 
 def dedup_contigs_native(

@@ -1,3 +1,4 @@
+import random
 import numpy as np
 import pytest
 
@@ -118,3 +119,56 @@ def test_native_dedup_large_random():
 
     got = native.dedup_contigs_native(contigs)
     assert sorted(got) == sorted(py_dedup(contigs))
+
+
+def test_splittable_fastq_ingest_matches_python(tmp_path, monkeypatch):
+    """Byte-range-split multithreaded plain-FASTQ ingest must decode exactly
+    what the Python reader does (records in file order), including quality
+    lines that start with '@'."""
+    import numpy as np
+
+    from reflexiv_tpu import native
+    from reflexiv_tpu.io import iter_fastq, reads_to_matrix
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = random.Random(6)
+    path = tmp_path / "big.fq"
+    with open(path, "w") as fh:
+        for i in range(5000):
+            n = rng.randrange(40, 130)
+            seq = "".join(rng.choice("ACGT") for _ in range(n))
+            # quality line deliberately starts with '@' sometimes
+            q0 = "@" if i % 3 == 0 else "I"
+            fh.write(f"@r{i} x\n{seq}\n+\n{q0}{'I' * (n - 1)}\n")
+    monkeypatch.setattr(native, "SPLIT_MIN_BYTES", 1)
+    got = native.load_reads_native([str(path)], fmt=0, threads=5)
+    assert got is not None
+    mat, lens = reads_to_matrix(list(iter_fastq([str(path)])))
+    assert np.array_equal(got[1], lens)
+    assert got[0].shape == mat.shape
+    assert np.array_equal(got[0], mat)
+
+
+def test_multifile_parallel_ingest(tmp_path):
+    import numpy as np
+
+    from reflexiv_tpu import native
+    from reflexiv_tpu.io import iter_fastq, reads_to_matrix
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = random.Random(7)
+    paths = []
+    for j in range(4):
+        p = tmp_path / f"f{j}.fq"
+        with open(p, "w") as fh:
+            for i in range(200):
+                n = rng.randrange(30, 90)
+                seq = "".join(rng.choice("ACGT") for _ in range(n))
+                fh.write(f"@r{j}_{i}\n{seq}\n+\n{'I' * n}\n")
+        paths.append(str(p))
+    got = native.load_reads_native(paths, fmt=0, threads=4)
+    mat, lens = reads_to_matrix(list(iter_fastq(paths)))
+    assert np.array_equal(got[1], lens)
+    assert np.array_equal(got[0], mat)
