@@ -126,7 +126,20 @@ print(json.dumps({
 
 
 def main():
-    counting = bench_counting_subprocess()
+    # the remote-TPU tunnel can take minutes to hand out a session (and can
+    # wedge for hours): retry within a patience budget before accepting the
+    # CPU fallback
+    patience = int(os.environ.get("REFLEXIV_BENCH_TPU_PATIENCE_S", 2700))
+    attempt_s = 900
+    deadline = time.time() + patience
+    counting = None
+    attempt = 0
+    while counting is None and time.time() < deadline:
+        attempt += 1
+        left = max(60, min(attempt_s, int(deadline - time.time())))
+        print(f"bench: counting attempt {attempt} (timeout {left}s)",
+              file=sys.stderr)
+        counting = bench_counting_subprocess(timeout_s=left)
     if counting is None:
         # wedged accelerator tunnel: report from CPU rather than hanging
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -136,6 +149,14 @@ def main():
         print("bench: default backend unresponsive, using CPU",
               file=sys.stderr)
         counting = bench_counting()
+        # point at the committed on-TPU measurement from this round so a
+        # CPU-fallback record is never mistaken for the chip's ceiling
+        ev_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_TPU_evidence.json")
+        if os.path.exists(ev_path):
+            with open(ev_path) as fh:
+                counting["tpu_evidence"] = json.load(fh)
     assembly = bench_assembly_subprocess()
     golden = (
         assembly["canonical"] == 1 and assembly["lengths"] == [4558]
@@ -154,6 +175,8 @@ def main():
             "assembly_wall_s": round(assembly["wall_s"], 2),
             "golden_parity": golden,
             "contig_lengths": assembly["lengths"],
+            **({"tpu_evidence": counting["tpu_evidence"]}
+               if "tpu_evidence" in counting else {}),
         },
     }
     print(json.dumps(result))
