@@ -1074,6 +1074,37 @@ def assemble_dynamic(
         exts = end_extend_arrays(
             [s for s, _, _ in raw], bases, lengths)
         raw = [(s2, l, r) for s2, (_s, l, r) in zip(exts, raw)]
+
+        # 08Extend + 09ExtendAgain (ReflexivDSDynamicKmerExtend ``:118-253``,
+        # ``...ExtendRoundTwo:133-220``): the fixing machinery re-runs over
+        # the end-extended contigs so ends that now overlap through their
+        # consensus extensions re-join before dedup
+        if raw and os.environ.get("REFLEXIV_SKIP_EXTEND_PASS") != "1":
+            from .bitpack import encode_ascii
+
+            kfix = min(31, kmin)
+            rows = [
+                (encode_ascii(np.frombuffer(s.encode(), np.uint8)),
+                 kfix - 1, l, r)
+                for s, l, r in raw
+            ]
+            pool2 = _dyn_pool_from_rows(rows)
+            if kmax < 32:
+                pool2 = fixing_rounds(
+                    pool2, params, kfix=kfix, seed=seed + 3000, mesh=mesh)
+            else:
+                pool2 = fixing_rounds_faithful(
+                    pool2, params, kmax=kmax, seed=seed + 3000, mesh=mesh)
+            seq2, len2, _subk2, l2, r2, live2 = (
+                np.asarray(a) for a in pool2)
+            raw = [
+                (decode_to_str(seq2[i, :len2[i]]), int(l2[i]), int(r2[i]))
+                for i in np.nonzero(live2)[0]
+                if len2[i] >= params.min_contig
+                and not (l2[i] <= REPEAT_KILLED and r2[i] <= REPEAT_KILLED)
+            ]
+            met.lap("meta/05extend_pass")
+
         attrs = {s: (l, r) for s, l, r in raw}
         deduped = [
             (s,) + attrs.get(s, (0, 0))

@@ -118,3 +118,43 @@ def test_meta_50kb_paired_with_errors():
     # exact alignment to truth: assembled sequence carries no read errors
     for c in meta_canon:
         assert c in genome or oracle.revcomp(c) in genome
+
+
+def test_extend_pass_rejoins_after_end_extension():
+    """08Extend analog: two contigs separated by a read-covered gap grow
+    into overlap via consensus end extension, and the post-extension fixing
+    pass joins them into one sequence."""
+    import numpy as np
+
+    from reflexiv_tpu.bitpack import decode_to_str, encode_ascii
+    from reflexiv_tpu.dynamic import (_dyn_pool_from_rows,
+                                      fixing_rounds_faithful)
+    from reflexiv_tpu.io import reads_to_matrix
+    from reflexiv_tpu.mapping import end_extend_arrays
+    from reflexiv_tpu.params import Params
+
+    rng = random.Random(10)
+    genome = "".join(rng.choice("ACGT") for _ in range(1500))
+    a, b = genome[:700], genome[740:]      # 40 bp gap, no raw overlap
+    reads = []
+    for _ in range(900):
+        s = rng.randrange(len(genome) - 80)
+        reads.append(genome[s:s + 80])
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    # bounded extension: each end grows ~40 bp across the 40 bp gap, so
+    # the extended contigs overlap ~40 bp and their end regions share a
+    # >=31 bp genomic span (the join window)
+    exts = end_extend_arrays([a, b], mat, lens, max_rounds=1, max_tail=40)
+    assert all(len(e) > len(c) for e, c in zip(exts, (a, b)))
+    rows = [
+        (encode_ascii(np.frombuffer(s.encode(), np.uint8)), 30, -1, -1)
+        for s in exts
+    ]
+    pool = fixing_rounds_faithful(
+        _dyn_pool_from_rows(rows), Params(min_iterations=2), kmax=61,
+        seed=77)
+    seq, length, _sk, _l, _r, live = (np.asarray(x) for x in pool)
+    out = [decode_to_str(seq[i, :length[i]]) for i in np.nonzero(live)[0]]
+    best = max(out, key=len)
+    assert len(best) >= 1450
+    assert best in genome or oracle.revcomp(best) in genome
