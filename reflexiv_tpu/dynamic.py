@@ -952,6 +952,28 @@ def assemble_dynamic(
     if resume_idx >= 0 and resume_idx < 4:
         pool = ckpt.load_records(workdir, stages[resume_idx])
 
+    if resume_idx < 0 and params.output_path:
+        # a prior `reduce` run in the same output dir supplies the reduced
+        # multi-k tables: consume them instead of recounting, exactly like
+        # the reference's steps pipe reading the Count_*_reduced glob
+        # (Pipelines.java:857)
+        from .io import has_success_marker
+
+        rdirs = {
+            k: os.path.join(params.output_path, f"Count_{k}_reduced")
+            for k in klist
+        }
+        if all(has_success_marker(d) for d in rdirs.values()):
+            log.info("meta: consuming Count_*_reduced from a prior reduce "
+                     "run; skipping count+sort+reduce")
+            pre = {k: read_sorted_set(d, k) for k, d in rdirs.items()}
+            pool = records_from_sorted(
+                [(b, l, r, k) for k, (b, l, r) in pre.items()]
+            )
+            if workdir:
+                ckpt.save_records(workdir, "01reduced", pool)
+            resume_idx = 1
+
     from . import metrics
 
     met = metrics.current()

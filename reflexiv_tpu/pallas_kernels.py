@@ -43,17 +43,23 @@ def _extract_kernel(k: int, L: int):
     hi_bits = 2 * k - 32  # bits of the packed value living in the hi limb
     hi_mask_val = (1 << hi_bits) - 1 if hi_bits < 32 else 0xFFFFFFFF
 
-    def kernel(bases_ref, hi_ref, lo_ref):
+    def kernel(bases_ref, hi_ref, lo_ref, st_ref):
+        # the rolling (fhi, flo, rhi, rlo) state lives in a VMEM scratch
+        # buffer rather than a fori_loop carry: Mosaic assigns the carry a
+        # *replicated* layout from its constant-zeros init (even a memory-
+        # derived `t ^ t` folds back to a splat) and then rejects the
+        # concrete->replicated backedge relayout ("Invalid relayout ...
+        # replicated in destination but not in source"); loads/stores
+        # through the scratch ref sidestep layout inference entirely
         hi_mask = jnp.uint32(hi_mask_val)
-        # derive the init state from a real tile: a constant jnp.zeros gets
-        # a *replicated* Mosaic layout, and the loop backedge then needs an
-        # unsupported concrete->replicated relayout ("Invalid relayout ...
-        # replicated in destination but not in source")
-        t0 = bases_ref[0, 0]
-        zero = t0 ^ t0
+        st_ref[0] = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+        st_ref[1] = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+        st_ref[2] = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+        st_ref[3] = jnp.zeros((SUBLANES, LANES), jnp.uint32)
 
-        def body(j, state):
-            fhi, flo, rhi, rlo = state
+        def body(j, _):
+            fhi, flo = st_ref[0], st_ref[1]
+            rhi, rlo = st_ref[2], st_ref[3]
             b = bases_ref[j, 0]                       # (8, 128) tile
             # forward: shift left 2, append b
             fhi = ((fhi << 2) | (flo >> 30)) & hi_mask
@@ -62,6 +68,8 @@ def _extract_kernel(k: int, L: int):
             comp = b ^ 3
             rlo = (rlo >> 2) | (rhi << 30)
             rhi = (rhi >> 2) | (comp << (hi_bits - 2))
+            st_ref[0], st_ref[1] = fhi, flo
+            st_ref[2], st_ref[3] = rhi, rlo
 
             @pl.when(j >= k - 1)
             def _():
@@ -70,9 +78,9 @@ def _extract_kernel(k: int, L: int):
                 hi_ref[w, 0] = jnp.where(lt, fhi, rhi)
                 lo_ref[w, 0] = jnp.where(lt, flo, rlo)
 
-            return fhi, flo, rhi, rlo
+            return 0
 
-        jax.lax.fori_loop(0, L, body, (zero, zero, zero, zero))
+        jax.lax.fori_loop(0, L, body, 0)
 
     return kernel, Wn
 
@@ -124,6 +132,7 @@ def extract_canonical_kmers_pallas(
             jax.ShapeDtypeStruct((Wn, G, SUBLANES, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((Wn, G, SUBLANES, LANES), jnp.uint32),
         ],
+        scratch_shapes=[pltpu.VMEM((4, SUBLANES, LANES), jnp.uint32)],
         interpret=interpret,
     )(bt)
     hi = hi.reshape(Wn, R_pad)

@@ -184,3 +184,22 @@ def test_reads_limit_and_parity_flags_parse(tmp_path):
     assert p.input_contig == "c.fa" and p.shuffle_partitions == 8
     assert p.input_format == "gzip" and p.mode == "fast"
     assert p.patch is True and p.scaffold is True  # -scaffold implies -patch
+
+
+@pytest.mark.slow
+def test_meta_consumes_prior_reduce_artifacts(tmp_path, caplog):
+    """`reduce` then `meta` in the same output dir: meta must start from the
+    Count_*_reduced tables (Pipelines.java:857) and still reach the golden
+    contig."""
+    import logging
+
+    out = str(tmp_path / "out")
+    args = ["-fastq", EXAMPLE, "-klist", "23,31,41", "-cover", "3",
+            "-outfile", out]
+    main(["reduce"] + args)
+    assert os.path.exists(os.path.join(out, "Count_41_reduced", "_SUCCESS"))
+    with caplog.at_level(logging.INFO, logger="reflexiv_tpu"):
+        main(["meta"] + args)
+    assert any("consuming Count_*_reduced" in r.message for r in caplog.records)
+    lens = _read_fasta_lens(os.path.join(out, "Assembly", "part-00000"))
+    assert lens and lens[-1] >= 4500
