@@ -1236,6 +1236,30 @@ def dynamic_reduction(params: Params, *, seed: int = 0) -> None:
     last = os.path.join(out, f"Count_{klist[-1]}_reduced")
     if not has_success_marker(last):
         _write_sorted_set(last, sorted_sets[klist[-1]], klist[-1])
+
+    if params.stitch_kmer:
+        # stitch k-mer pass (Pipelines.java:1665-1733): count coverage-1
+        # k-mers at the stitch size and write the sorted table under
+        # Stitch_kmer/ for the stitch command to consume
+        ssize = 31
+        sdir = os.path.join(out, "Stitch_kmer", f"Count_{ssize}_sorted")
+        if not has_success_marker(sdir):
+            import dataclasses as _dc
+
+            m, l = reads()
+            limbs, counts = count_kmers_auto(
+                m, l, k=ssize, min_cov=1, max_cov=1,
+                front_clip=params.front_clip, end_clip=params.end_clip,
+                partitions=params.partitions,
+            )
+            stitch_params = _dc.replace(
+                params, min_kmer_coverage=1, max_kmer_coverage=1_000_000)
+            _write_sorted_set(
+                sdir, sort_k_records(limbs, counts, ssize, stitch_params),
+                ssize)
+            log.info("stitch k-mers: %d coverage-1 %d-mers sorted",
+                     len(counts), ssize)
+
     log.info("reduction complete: %s", ", ".join(
         f"k{k}={len(v[0])}" for k, v in sorted_sets.items()))
 

@@ -198,6 +198,13 @@ def test_meta_consumes_prior_reduce_artifacts(tmp_path, caplog):
             "-outfile", out]
     main(["reduce"] + args)
     assert os.path.exists(os.path.join(out, "Count_41_reduced", "_SUCCESS"))
+    # stitch k-mer pass (Pipelines.java:1665-1733): cov-1 31-mers sorted
+    stitch_tab = os.path.join(
+        out, "Stitch_kmer", "Count_31_sorted", "part-00000.csv")
+    assert os.path.exists(stitch_tab)
+    with open(stitch_tab) as fh:
+        first = fh.readline().strip()
+    assert first and "|" in first.split(",")[1]
     with caplog.at_level(logging.INFO, logger="reflexiv_tpu"):
         main(["meta"] + args)
     assert any("consuming Count_*_reduced" in r.message for r in caplog.records)
