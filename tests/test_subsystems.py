@@ -303,3 +303,48 @@ def test_merge_pairs_python_fallback_matches_native():
         native.merge_pairs_native = orig
     assert mask_nat.tolist() == mask_py.tolist()
     assert all(np.array_equal(a, b) for a, b in zip(merged_nat, merged_py))
+
+
+def test_stitch_reuses_precomputed_stitch_table(tmp_path):
+    """A Stitch_kmer/Count_<k>_sorted table from a prior reduce run is
+    consumed instead of recounting (Pipelines.java:250-308 _SUCCESS skip),
+    and reproduces the fork-filtered record set exactly."""
+    import dataclasses
+
+    import numpy as np
+
+    from reflexiv_tpu import count as count_mod
+    from reflexiv_tpu.assembler import initial_records_from_counts
+    from reflexiv_tpu.dynamic import _write_sorted_set, sort_k_records
+    from reflexiv_tpu.params import Params
+    from reflexiv_tpu.stitch import _stitch_records_from_table
+
+    rng = random.Random(3)
+    genome = "".join(rng.choice("ACGT") for _ in range(400))
+    reads = [genome[i:i + 60] for i in range(0, 330, 6)]
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    k = 21
+    params = Params(k=k, min_kmer_coverage=1,
+                    output_path=str(tmp_path))
+    limbs, counts = count_mod.count_kmers(mat, lens, k=k, min_cov=1)
+    triple = sort_k_records(limbs, counts, k, params)
+    _write_sorted_set(
+        str(tmp_path / "Stitch_kmer" / f"Count_{k}_sorted"), triple, k)
+
+    p = dataclasses.replace(params, k=k)
+    recs = _stitch_records_from_table(params, k, p)
+    assert recs is not None
+    want, _ = initial_records_from_counts(limbs, counts, p)
+
+    def live_rows(r):
+        seq = np.asarray(r.seq)
+        live = np.asarray(r.live)
+        return sorted(
+            (bytes(seq[i, :k]), int(r.left[i]), int(r.right[i]))
+            for i in np.nonzero(live)[0]
+        )
+
+    assert live_rows(recs) == live_rows(want)
+    # no table -> None (self-count path)
+    assert _stitch_records_from_table(
+        Params(k=k, output_path=str(tmp_path / "nope")), k, p) is None
