@@ -318,12 +318,13 @@ def count_kmers(
             f"{n_windows} k-mer windows exceed the 2^31 single-pass bound; "
             "use count_kmers_streaming or the sharded counter")
 
-    # opt-in until the kernel is validated on real TPU hardware: the first
-    # on-device run hung the remote-TPU tunnel (see SKILL.md notes)
+    # validated on real TPU (exact table parity + faster than the fused-XLA
+    # extraction; scripts/tpu_count_bench.py): default ON for supported k on
+    # TPU, opt out with REFLEXIV_PALLAS_EXTRACT=0
     import os
 
     use_pallas = (
-        os.environ.get("REFLEXIV_PALLAS_EXTRACT") == "1"
+        os.environ.get("REFLEXIV_PALLAS_EXTRACT", "1") != "0"
         and pallas_kernels.supports(k)
         and front_clip == 0 and end_clip == 0
         and jax.devices()[0].platform == "tpu"
