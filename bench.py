@@ -58,7 +58,8 @@ def bench_counting_subprocess(timeout_s: int = 900):
 def bench_counting(tile: int = 64, iters: int = 3):
     import jax
     import jax.numpy as jnp
-    from reflexiv_tpu.count import count_pass_fused
+    from reflexiv_tpu import pallas_kernels
+    from reflexiv_tpu.count import count_pass_fused, sort_count_filter
     from reflexiv_tpu.io import load_reads
 
     mat, lens = load_reads(EXAMPLE)
@@ -71,9 +72,23 @@ def bench_counting(tile: int = 64, iters: int = 3):
     bases = jnp.asarray(mat)
     lengths = jnp.asarray(lens)
 
+    # the production path: Pallas extraction on TPU (default-on, validated
+    # for table parity), fused-XLA extraction elsewhere
+    use_pallas = (
+        jax.devices()[0].platform == "tpu"
+        and os.environ.get("REFLEXIV_PALLAS_EXTRACT", "1") != "0"
+        and pallas_kernels.supports(k)
+    )
+
     def run_to_completion():
-        out = count_pass_fused(
-            bases, lengths, k=k, min_cov=3, max_cov=10_000_000)
+        if use_pallas:
+            limbs, valid = pallas_kernels.extract_canonical_kmers_pallas(
+                bases, lengths, k=k)
+            out = sort_count_filter(
+                limbs, valid, min_cov=3, max_cov=10_000_000)
+        else:
+            out = count_pass_fused(
+                bases, lengths, k=k, min_cov=3, max_cov=10_000_000)
         # force completion with a host fetch: block_until_ready is a no-op on
         # the experimental axon platform
         np.asarray(out[1][:8])
