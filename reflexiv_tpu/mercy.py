@@ -90,24 +90,46 @@ def _mercy_mask(
 
 def mercy_kmer_table(
     bases: np.ndarray, lengths: np.ndarray, *, k: int, min_cov: int,
-    max_cov: int = 10_000_000,
+    max_cov: int = 10_000_000, block_rows: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Solid + mercy k-mer table for assembly under ``-accurate``."""
-    all_limbs, all_counts = count_mod.count_kmers(
+    """Solid + mercy k-mer table for assembly under ``-accurate``.
+
+    Scale-safe: the min_cov=1 table builds through the auto-streaming
+    counter, and the per-read mercy mask runs in read-row blocks (each
+    block's flank logic only needs its own rows + the global table), so no
+    single pass exceeds the device window bound.
+    """
+    from .dynamic import STREAM_WINDOW_LIMIT, count_kmers_auto
+
+    all_limbs, all_counts = count_kmers_auto(
         bases, lengths, k=k, min_cov=1, max_cov=max_cov
     )
     solid_mask = all_counts >= min_cov
-    q_limbs, mercy = _mercy_mask(
-        jnp.asarray(bases), jnp.asarray(lengths),
-        jnp.asarray(all_limbs), jnp.asarray(all_counts),
-        k=k, min_cov=min_cov,
-    )
-    mercy_np = np.asarray(mercy)
-    q_np = np.asarray(q_limbs)
+
+    R, L = bases.shape
+    Wn = max(L - k + 1, 0)
+    # keep (table + block windows) under the single-pass sort bound
+    budget = max(STREAM_WINDOW_LIMIT - len(all_counts), 1 << 20)
+    rows = block_rows or max(1, min(R, budget // max(Wn, 1)))
+    tl = jnp.asarray(all_limbs)
+    tc = jnp.asarray(all_counts)
+    mercy_parts = []
+    for lo in range(0, R, rows):
+        q_limbs, mercy = _mercy_mask(
+            jnp.asarray(bases[lo: lo + rows]),
+            jnp.asarray(lengths[lo: lo + rows]),
+            tl, tc, k=k, min_cov=min_cov,
+        )
+        mercy_np = np.asarray(mercy)
+        if mercy_np.any():
+            mercy_parts.append(np.asarray(q_limbs)[mercy_np])
+
     # vectorized membership: view limb rows as void records
-    mercy_rows = np.unique(
-        np.ascontiguousarray(q_np[mercy_np]), axis=0
-    ) if mercy_np.any() else np.zeros((0, q_np.shape[1]), q_np.dtype)
+    mercy_rows = (
+        np.unique(np.ascontiguousarray(np.concatenate(mercy_parts)), axis=0)
+        if mercy_parts else np.zeros((0, all_limbs.shape[1]),
+                                     all_limbs.dtype)
+    )
 
     def _as_void(a):
         a = np.ascontiguousarray(a)

@@ -348,3 +348,29 @@ def test_stitch_reuses_precomputed_stitch_table(tmp_path):
     # no table -> None (self-count path)
     assert _stitch_records_from_table(
         Params(k=k, output_path=str(tmp_path / "nope")), k, p) is None
+
+
+def test_mercy_table_blocked_matches_single_pass():
+    """Row-blocked mercy mask passes must produce the same table as one
+    whole-matrix pass (blocks only restrict the flank scan to their own
+    rows, which is already per-read logic)."""
+    import numpy as np
+
+    from reflexiv_tpu import mercy as mercy_mod
+
+    rng = random.Random(17)
+    genome = "".join(rng.choice("ACGT") for _ in range(500))
+    reads = _sim_reads(rng, genome, 70, 60, rc=True)
+    # single-copy stretch: reads covering 200..300 only once
+    reads.append(genome[200:300])
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    one = mercy_mod.mercy_kmer_table(mat, lens, k=21, min_cov=3)
+
+    blocked = mercy_mod.mercy_kmer_table(
+        mat, lens, k=21, min_cov=3, block_rows=7)
+
+    def table(t):
+        return sorted(map(tuple, np.c_[t[0], t[1]].tolist()))
+
+    assert table(one) == table(blocked)
+    assert len(one[1]) > 0
