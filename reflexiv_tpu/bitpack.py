@@ -39,6 +39,17 @@ def decode_to_str(codes: np.ndarray) -> str:
     return CODE_TO_BASE[np.asarray(codes, dtype=np.uint8)].tobytes().decode()
 
 
+def revcomp_matrix(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Per-row reverse complement of a padded (R, L) uint8 code matrix
+    (host-side, numpy): one gather mapping column j -> lens-1-j, pad 0."""
+    R, L = mat.shape
+    col = lens[:, None].astype(np.int64) - 1 - np.arange(L)[None, :]
+    ok = col >= 0
+    return np.where(
+        ok, 3 - mat[np.arange(R)[:, None], np.clip(col, 0, L - 1)], 0
+    ).astype(np.uint8)
+
+
 def rolling_window_values(mat: np.ndarray, k: int, *, want_rc: bool = True):
     """(R, L) uint8 code matrix -> (R, L-k+1) uint64 window values
     (host-side, numpy), optionally with the reverse-complement values.

@@ -174,7 +174,20 @@ def cmd_counter(params: Params, seed: int) -> None:
     from .kmer_io import write_count_table
 
     mat, lens = _load_read_matrix(params)
+    # read counting with the read filters (clips); fragments count in their
+    # own unclipped pass below — clips are read-trimming semantics and must
+    # not drop interior contig k-mers at segment boundaries
+    limbs, counts = count_kmers(
+        mat, lens, k=params.k,
+        min_cov=1, max_cov=2_000_000_000,
+        front_clip=params.front_clip, end_clip=params.end_clip,
+    )
     if params.input_contig:
+        import numpy as _np
+
+        import jax.numpy as _jnp
+
+        from .count import merge_count_tables
         from .io import contigs_to_segment_matrix, expand_paths, iter_fasta
 
         frags = [
@@ -183,20 +196,29 @@ def cmd_counter(params: Params, seed: int) -> None:
         ]
         fmat, flens = contigs_to_segment_matrix(
             frags, k=params.k, seg=max(mat.shape[1], 256))
-        import numpy as _np
-
-        L = max(mat.shape[1], fmat.shape[1])
-        mat = _np.concatenate([
-            _np.pad(mat, ((0, 0), (0, L - mat.shape[1]))),
-            _np.pad(fmat, ((0, 0), (0, L - fmat.shape[1]))),
-        ])
-        lens = _np.concatenate([lens, flens])
+        flimbs, fcounts = count_kmers(
+            fmat, flens, k=params.k, min_cov=1, max_cov=2_000_000_000)
         log.info("injected %d fragment segments into counting", len(flens))
-    limbs, counts = count_kmers(
-        mat, lens, k=params.k,
-        min_cov=params.min_kmer_coverage, max_cov=params.max_kmer_coverage,
-        front_clip=params.front_clip, end_clip=params.end_clip,
-    )
+
+        def _pow2pad(a, c):
+            n = len(c)
+            cap = 1
+            while cap < max(n, 1):
+                cap <<= 1
+            return (_np.pad(a, ((0, cap - n), (0, 0))),
+                    _np.pad(c, (0, cap - n)))
+
+        tl, tc = _pow2pad(limbs, counts)
+        pl, pc = _pow2pad(flimbs, fcounts)
+        mlimbs, mcounts, keep = merge_count_tables(
+            _jnp.asarray(tl), _jnp.asarray(tc),
+            _jnp.asarray(pl), _jnp.asarray(pc))
+        keep_np = _np.asarray(keep)
+        limbs = _np.asarray(mlimbs)[keep_np]
+        counts = _np.asarray(mcounts)[keep_np]
+    band = (counts >= params.min_kmer_coverage) & (
+        counts <= params.max_kmer_coverage)
+    limbs, counts = limbs[band], counts[band]
     out_dir = os.path.join(params.output_path, f"Count_{params.k}")
     path = write_count_table(out_dir, limbs, counts, params.k,
                              gzip_output=True)

@@ -687,8 +687,8 @@ def _fixing_split(recs: DynRecords, kmax: int, kfix: int = 31):
         interiors.append((
             s[w: n - w],
             kfix - 1,
-            3 + kmax if l > 0 else l,
-            3 + kmax if r > 0 else r,
+            3 + kmax if l >= 0 else l,   # blocked = attr >= 0 (records.py)
+            3 + kmax if r >= 0 else r,
         ))
     end_windows = (
         np.concatenate(ends, axis=0).astype(np.uint8)
@@ -963,7 +963,17 @@ def assemble_dynamic(
             k: os.path.join(params.output_path, f"Count_{k}_reduced")
             for k in klist
         }
-        if all(has_success_marker(d) for d in rdirs.values()):
+        sig_ok = False
+        sig_path = os.path.join(params.output_path, "reduce_params.json")
+        if os.path.exists(sig_path):
+            import json as _json
+
+            with open(sig_path) as fh:
+                sig_ok = _json.load(fh) == _count_signature(params)
+            if not sig_ok:
+                log.info("meta: Count_*_reduced present but reduce params "
+                         "differ; recounting")
+        if sig_ok and all(has_success_marker(d) for d in rdirs.values()):
             log.info("meta: consuming Count_*_reduced from a prior reduce "
                      "run; skipping count+sort+reduce")
             pre = {k: read_sorted_set(d, k) for k, d in rdirs.items()}
@@ -1096,6 +1106,7 @@ def assemble_dynamic(
         exts = end_extend_arrays(
             [s for s, _, _ in raw], bases, lengths)
         raw = [(s2, l, r) for s2, (_s, l, r) in zip(exts, raw)]
+        met.lap("meta/04reassemble_end_extend")
 
         # 08Extend + 09ExtendAgain (ReflexivDSDynamicKmerExtend ``:118-253``,
         # ``...ExtendRoundTwo:133-220``): the fixing machinery re-runs over
@@ -1134,7 +1145,7 @@ def assemble_dynamic(
         ]
         if workdir:
             ckpt.save_contigs_attrs(workdir, "04contigs", deduped)
-        met.lap("meta/04finalize")
+        met.lap("meta/06finalize")
         met.set("meta/contigs", len(deduped))
     else:
         deduped = ckpt.load_contigs_attrs(workdir, "04contigs")
@@ -1150,6 +1161,47 @@ def assemble_dynamic(
 # ---------------------------------------------------------------------------
 # CLI drivers with stage checkpoints
 # ---------------------------------------------------------------------------
+
+
+def _count_signature(params: Params) -> dict:
+    """The parameter fields that determine counting/sorting/reduction
+    artifacts — reuse of Count_* tables is only valid when these match."""
+    return {
+        "klist": sorted(params.klist),
+        "min_cov": params.min_kmer_coverage,
+        "max_cov": params.max_kmer_coverage,
+        "min_error": params.min_error_coverage,
+        "sensitive": params.sensitive,
+        "front_clip": params.front_clip,
+        "end_clip": params.end_clip,
+        "min_read_length": params.min_read_length,
+        "read_limit": params.read_limit,
+        "bubble": params.bubble,
+    }
+
+
+def _guard_reduce_signature(out: str, params: Params) -> None:
+    """Invalidate reduce artifacts written under different parameters: a
+    rerun with changed coverage/klist must not silently resume on stale
+    tables (the artifact-level analog of meta's params.json guard)."""
+    import json as _json
+    import shutil as _sh
+
+    sig = _count_signature(params)
+    sig_path = os.path.join(out, "reduce_params.json")
+    if os.path.exists(sig_path):
+        with open(sig_path) as fh:
+            old = _json.load(fh)
+        if old != sig:
+            log.info("reduce params changed; discarding stale Count_* "
+                     "artifacts")
+            for name in os.listdir(out):
+                if name.startswith("Count_") or name == "Stitch_kmer":
+                    _sh.rmtree(os.path.join(out, name), ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    with open(sig_path, "w") as fh:
+        _json.dump(sig, fh)
+
 
 def dynamic_reduction(params: Params, *, seed: int = 0) -> None:
     """``reduce`` command: per-k count + sort + pairwise reduce, with
@@ -1173,6 +1225,7 @@ def dynamic_reduction(params: Params, *, seed: int = 0) -> None:
     from .kmer_io import read_count_table, write_count_table
 
     out = params.output_path
+    _guard_reduce_signature(out, params)
     mat, lens = load_reads_filtered(
         params.input_fastq or params.input_fasta, params)
 
@@ -1227,12 +1280,14 @@ def dynamic_reduction(params: Params, *, seed: int = 0) -> None:
         shorts, longs = reduce_k_pair(sorted_sets[k1], sorted_sets[k2], k1, k2)
         sorted_sets[k1] = shorts
         sorted_sets[k2] = longs
-        _write_sorted_set(rdir, shorts, k1)
         # the adjusted longer-k set replaces its _sorted table mid-ladder,
         # exactly like ReflexivDSDynamicKmerRuduction's k2 rewrite
-        # (Pipelines.java:257-283 / Ruduction.java:244-283)
+        # (Pipelines.java:257-283 / Ruduction.java:244-283); written FIRST:
+        # the skip path assumes the rewrite happened whenever the reduced
+        # marker exists, so the marker must come last
         _write_sorted_set(os.path.join(out, f"Count_{k2}_sorted"),
                           longs, k2)
+        _write_sorted_set(rdir, shorts, k1)
     last = os.path.join(out, f"Count_{klist[-1]}_reduced")
     if not has_success_marker(last):
         _write_sorted_set(last, sorted_sets[klist[-1]], klist[-1])

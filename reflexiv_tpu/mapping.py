@@ -62,13 +62,10 @@ class _MatrixWindowIndex:
             vals = rolling_window_values(chunk, k, want_rc=False)[0]
             ends = np.arange(k, L + 1, dtype=np.int32)[None, :]
             ok = ends <= lens[:, None]
-            # reverse-complement rows (per-row reversal via index gather)
-            col = np.arange(L, dtype=np.int32)[None, :]
-            rc_src = np.clip(lens[:, None] - 1 - col, 0, L - 1)
-            rc = (np.take_along_axis(
-                chunk, rc_src.astype(np.int64), axis=1) ^ 3).astype(np.uint8)
-            rc[col >= lens[:, None]] = 0
-            rvals = rolling_window_values(rc, k, want_rc=False)[0]
+            from .bitpack import revcomp_matrix
+
+            rvals = rolling_window_values(
+                revcomp_matrix(chunk, lens), k, want_rc=False)[0]
             rr, cc = np.nonzero(ok)
             row_chunk = (rr + lo).astype(np.int32)
             end_chunk = (cc + k).astype(np.int32)

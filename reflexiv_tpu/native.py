@@ -228,7 +228,10 @@ def load_reads_native(
         gots = list(pool.map(load_one, range(len(paths))))
     at = sum(gots)
     if at != total:
-        # counts and rows must agree; fall back to dense repack on mismatch
+        # scan and load parse identically, so a mismatch means the input
+        # changed mid-read (or a parser bug): rows would be misplaced in the
+        # preallocated matrix — abort to the Python reader rather than
+        # return a silently corrupt matrix
         raise OSError(f"native load row mismatch for {paths}")
     return codes, lens
 

@@ -172,14 +172,7 @@ def _end_index_arrays(
         keys[keep], ci[keep], end[keep], pos[keep], strand[keep])
 
 
-def _rc_matrix(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """Per-row reverse complement of a padded code matrix (one gather)."""
-    R, L = mat.shape
-    col = lens[:, None].astype(np.int64) - 1 - np.arange(L)[None, :]
-    ok = col >= 0
-    return np.where(
-        ok, 3 - mat[np.arange(R)[:, None], np.clip(col, 0, L - 1)], 0
-    ).astype(np.uint8)
+from .bitpack import revcomp_matrix as _rc_matrix  # noqa: E305
 
 
 def _map_reads_arrays(

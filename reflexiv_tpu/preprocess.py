@@ -45,17 +45,13 @@ def merge_pairs(
     Returns (list of merged/unmerged read code arrays per pair as
     [merged] or [r1, r2], merged_mask).
     """
+    from .bitpack import revcomp_matrix
+
     P = m1.shape[0]
     assert m2.shape[0] == P
-    # reverse complement r2: one gather over the whole matrix (row i maps
-    # column j -> l2[i]-1-j), no per-pair Python
     L1, L2 = m1.shape[1], m2.shape[1]
     rows = np.arange(P)[:, None]
-    col = l2[:, None].astype(np.int64) - 1 - np.arange(L2)[None, :]
-    in_read = col >= 0
-    r2rc = np.where(
-        in_read, (3 - m2[rows, np.clip(col, 0, L2 - 1)]), 0
-    ).astype(np.uint8)
+    r2rc = revcomp_matrix(m2, l2)
 
     from . import native
 
