@@ -60,12 +60,15 @@ def _end_index(
     """
     idx: Dict[str, Tuple[int, int, int, int]] = {}
     dup = set()
+    acgt = set("ACGT")
     for ci, s in enumerate(contigs):
         w = min(END_WINDOW, len(s))
         regions = ((0, s[:w], 0), (len(s) - w, s[-w:], 1))
         for base, region, end in regions:
             for j in range(len(region) - k + 1):
                 km = region[j: j + k]
+                if not acgt.issuperset(km):
+                    continue  # N (scaffold gap) windows never seed
                 pos = base + j
                 for strand, key in ((0, km), (1, revcomp_str(km))):
                     tag = (ci, end, pos, strand)
@@ -82,13 +85,46 @@ def _end_index(
 def _map_read(read: str, idx, k: int = SEED_K):
     """First seed hit -> (contig, end, read 5' position in contig coords,
     strand of the read on the contig)."""
+    acgt = set("ACGT")
     for j in range(0, max(1, len(read) - k + 1), 7):  # strided seeds
+        if not acgt.issuperset(read[j: j + k]):
+            continue  # N-bearing seeds never match (N has no 2-bit code)
         hit = idx.get(read[j: j + k])
         if hit is not None:
             ci, end, pos, strand = hit
             pos5 = pos - j if strand == 0 else pos + k - 1 + j
             return ci, end, pos5, strand
     return None
+
+
+def _ascii_matrix(strs: List[str]):
+    """Raw ASCII byte matrix + lengths (pad 0) for a list of sequences."""
+    n = len(strs)
+    lens = np.fromiter((len(x) for x in strs), np.int32, count=n)
+    L = int(lens.max()) if n else 0
+    mat = np.zeros((n, L), np.uint8)
+    for i, x in enumerate(strs):
+        mat[i, : lens[i]] = np.frombuffer(x.encode(), np.uint8)
+    return mat, lens
+
+
+_ACGT_BYTE = np.zeros(256, bool)
+for _c in b"ACGTacgt":
+    _ACGT_BYTE[_c] = True
+
+
+def _window_acgt_ok(ascii_mat: np.ndarray, k: int) -> np.ndarray:
+    """(R, W) mask: window j of each row holds only ACGT bytes — N windows
+    (scaffold gaps, low-quality reads) never index nor seed, matching the
+    string path where an N-bearing key cannot equal an ACGT one."""
+    R, L = ascii_mat.shape
+    W = L - k + 1
+    if W <= 0:
+        return np.zeros((R, 0), bool)
+    bad = ~_ACGT_BYTE[ascii_mat]
+    csum = np.zeros((R, L + 1), np.int32)
+    np.cumsum(bad, axis=1, out=csum[:, 1:])
+    return (csum[:, k:] - csum[:, :-k]) == 0
 
 
 class _EndIndexArrays:
@@ -112,16 +148,16 @@ def _end_index_arrays(
     rule: a key whose placements disagree on (contig, end) is dropped; the
     first placement in scan order (contig asc, head-then-tail, position asc,
     forward-then-rc) wins otherwise."""
-    from .io import reads_to_matrix
+    from .bitpack import encode_ascii
 
     C = len(contigs)
     if C == 0:
         return None
     w_all = [min(END_WINDOW, len(s)) for s in contigs]
     regions = (
-        ([contigs[i][: w_all[i]].encode() for i in range(C)],
+        ([contigs[i][: w_all[i]] for i in range(C)],
          np.zeros(C, np.int64)),
-        ([contigs[i][len(contigs[i]) - w_all[i]:].encode() for i in range(C)],
+        ([contigs[i][len(contigs[i]) - w_all[i]:] for i in range(C)],
          np.asarray([len(s) - w for s, w in zip(contigs, w_all)], np.int64)),
     )
     Wg = END_WINDOW - k + 1          # per-region seqno stride (j slots)
@@ -129,13 +165,14 @@ def _end_index_arrays(
     for region, (seqs, bases) in enumerate(regions):
         for lo in range(0, C, chunk):
             sl = seqs[lo: lo + chunk]
-            mat, lens = reads_to_matrix(sl)
-            if mat.shape[1] < k:
+            amat, lens = _ascii_matrix(sl)
+            if amat.shape[1] < k:
                 continue
-            fwd, rc = _rolling_keys(mat, k)              # (n, W)
+            fwd, rc = _rolling_keys(encode_ascii(amat), k)   # (n, W)
             W = fwd.shape[1]
             j = np.arange(W, dtype=np.int64)
             valid = j[None, :] < (lens[:, None].astype(np.int64) - k + 1)
+            valid &= _window_acgt_ok(amat, k)
             ri, jj = np.nonzero(valid)
             ci = (lo + ri).astype(np.int64)
             pos = bases[lo + ri] + jj
@@ -178,9 +215,12 @@ from .bitpack import revcomp_matrix as _rc_matrix  # noqa: E305
 def _map_reads_arrays(
     mat: np.ndarray, lens: np.ndarray, idx: _EndIndexArrays,
     k: int = SEED_K, stride: int = 7, chunk: int = 1 << 16,
+    acgt_ok: np.ndarray = None,
 ):
     """Batched :func:`_map_read`: first strided seed hit per read.
 
+    ``acgt_ok``: optional (R, L-k+1) window mask in this matrix's
+    orientation — N-bearing seeds never match (the string path's behavior).
     Returns (ci, end, pos5, strand, mapped) arrays over all reads.
     """
     R, L = mat.shape
@@ -199,6 +239,8 @@ def _map_reads_arrays(
         keys = _rolling_keys(m, k, want_rc=False)[0][:, seeds]             # (r, S)
         valid = (seeds[None, :] < np.maximum(1, n[:, None] - k + 1)) & (
             seeds[None, :] + k <= n[:, None])
+        if acgt_ok is not None:
+            valid &= acgt_ok[lo: lo + chunk][:, seeds]
         p = np.minimum(np.searchsorted(idx.keys, keys), nk - 1)
         hit = (idx.keys[p] == keys) & valid
         got = hit.any(axis=1)
@@ -303,13 +345,25 @@ def patch_contigs(
     With ``scaffold=True``, supported links lacking an exact overlap are
     joined through a run of ``max(gap_estimate, MIN_GAP_N)`` Ns.
     """
-    from .io import reads_to_matrix
+    from .bitpack import encode_ascii
 
     idx = _end_index_arrays(contigs)
-    m1, l1 = reads_to_matrix([r1.encode() for r1, _ in pairs])
-    m2, l2 = reads_to_matrix([r2.encode() for _, r2 in pairs])
-    c1, _e1, p1, s1, ok1 = _map_reads_arrays(m1, l1, idx)
-    c2, _e2, p2, s2, ok2 = _map_reads_arrays(_rc_matrix(m2, l2), l2, idx)
+    a1, l1 = _ascii_matrix([r1 for r1, _ in pairs])
+    a2, l2 = _ascii_matrix([r2 for _, r2 in pairs])
+    m1, m2 = encode_ascii(a1), encode_ascii(a2)
+    c1, _e1, p1, s1, ok1 = _map_reads_arrays(
+        m1, l1, idx, acgt_ok=_window_acgt_ok(a1, SEED_K))
+    # r2 maps in reverse complement; ACGT-ness is complement-invariant so
+    # the mask is the row-reversed one
+    a2r = np.zeros_like(a2)
+    if a2.shape[1]:
+        col = l2[:, None].astype(np.int64) - 1 - np.arange(a2.shape[1])
+        okc = col >= 0
+        a2r = np.where(
+            okc, a2[np.arange(len(l2))[:, None], np.clip(col, 0, None)], 0
+        ).astype(np.uint8)
+    c2, _e2, p2, s2, ok2 = _map_reads_arrays(
+        _rc_matrix(m2, l2), l2, idx, acgt_ok=_window_acgt_ok(a2r, SEED_K))
     ok = ok1 & ok2
     len2 = l2.astype(np.int64)
 

@@ -136,20 +136,20 @@ def test_counter_cli_with_fragments(tmp_path):
     import sys
 
     rng = random.Random(5)
-    genome = "".join(rng.choice("ACGT") for _ in range(300))
+    genome = "".join(rng.choice("ACGT") for _ in range(400))
     reads = [genome[i:i + 60] for i in range(0, 200, 5)]
     with open(tmp_path / "reads.fq", "w") as fh:
         for i, r in enumerate(reads):
             fh.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
     with open(tmp_path / "frags.fa", "w") as fh:
-        fh.write(f">f0\n{genome[180:290]}\n")
+        fh.write(f">f0\n{genome[270:390]}\n")
     env = dict(JAX_PLATFORMS="cpu", PATH="/usr/bin:/bin",
                HOME="/root")
     out = subprocess.run(
         [sys.executable, "-m", "reflexiv_tpu.cli", "counter",
          "-fastq", str(tmp_path / "reads.fq"),
          "-frag", str(tmp_path / "frags.fa"),
-         "-kmer", "21", "-cover", "1",
+         "-kmer", "21", "-cover", "1", "-clipf", "5",
          "-outfile", str(tmp_path / "out")],
         capture_output=True, text=True, env=env, cwd="/root/repo",
     )
@@ -162,7 +162,9 @@ def test_counter_cli_with_fragments(tmp_path):
     with opener(files[0], "rt") as fh:
         table = dict(
             line.strip().split(",") for line in fh if line.strip())
-    # a k-mer present only in the fragment (not covered by reads) counted
+    # a k-mer present only in the fragment (not covered by reads) counted;
+    # it sits in the fragment's first clipf windows, so it also proves read
+    # clipping does not clip fragment segments
     import oracle
-    frag_only = oracle.canonical(genome[265:286])
+    frag_only = oracle.canonical(genome[270:291])
     assert frag_only in table

@@ -165,6 +165,11 @@ def test_patching_batched_matches_scalar():
             "".join(rng.choice("ACGT") for _ in range(70)),
             "".join(rng.choice("ACGT") for _ in range(70)),
         ))
+    # junk N reads and an N-scaffolded contig: N windows must never seed
+    # (in both paths), so results stay equal and uncorrupted
+    pairs.append(("N" * 70, "N" * 70))
+    pairs.append(("T" * 70, "T" * 35 + "N" + "T" * 34))
+    contigs.append(contigs[0][:200] + "N" * 20 + contigs[1][:200])
     for scaffold in (False, True):
         got = patch_contigs(contigs, pairs, scaffold=scaffold)
         want = patch_contigs_scalar(contigs, pairs, scaffold=scaffold)
