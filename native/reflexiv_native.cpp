@@ -154,6 +154,17 @@ int64_t rfx_load(const char* path, int fmt, uint8_t* codes, int32_t* lens,
 // Compute nsplits aligned start offsets for `path` (plain FASTQ).
 // aligned[] receives nsplits+1 offsets (last = file size).
 // Returns 0 on success, <0 on error.
+namespace {
+
+// A chunk returned by fgets completes its line iff it ends in '\n', or it
+// is an EOF-terminated final line (fgets stopped before filling the
+// buffer). Lines longer than the buffer span several chunks.
+inline bool chunk_completes_line(const char* buf, size_t len, size_t cap) {
+  return (len > 0 && buf[len - 1] == '\n') || (len + 1 < cap);
+}
+
+}  // namespace
+
 int rfx_fastq_splits(const char* path, int64_t nsplits, int64_t* aligned) {
   FILE* f = std::fopen(path, "rb");
   if (f == nullptr) return -1;
@@ -167,19 +178,32 @@ int rfx_fastq_splits(const char* path, int64_t nsplits, int64_t* aligned) {
       continue;
     }
     std::fseek(f, (long)target, SEEK_SET);
-    if (target > 0 && std::fgets(buf.data(), (int)buf.size(), f) == nullptr) {
-      aligned[i] = size;
-      continue;
+    // skip to the end of the current (possibly multi-chunk) line
+    bool at_start = false;
+    while (!at_start) {
+      if (std::fgets(buf.data(), (int)buf.size(), f) == nullptr) break;
+      at_start = chunk_completes_line(
+          buf.data(), std::strlen(buf.data()), buf.size());
     }
-    // read ahead a window of lines, recording their offsets
+    // record the first bytes of the next lines (true line starts only)
     int64_t offs[8];
     char c0[8];
-    char c_next;
     int got = 0;
-    for (; got < 8; ++got) {
-      offs[got] = std::ftell(f);
+    while (got < 8 && at_start) {
+      int64_t o = std::ftell(f);
       if (std::fgets(buf.data(), (int)buf.size(), f) == nullptr) break;
+      size_t len = std::strlen(buf.data());
+      offs[got] = o;
       c0[got] = buf[0];
+      ++got;
+      // consume continuation chunks of an over-long line
+      bool done = chunk_completes_line(buf.data(), len, buf.size());
+      while (!done) {
+        if (std::fgets(buf.data(), (int)buf.size(), f) == nullptr) break;
+        done = chunk_completes_line(
+            buf.data(), std::strlen(buf.data()), buf.size());
+      }
+      at_start = done;
     }
     int64_t start = size;
     for (int j = 0; j + 2 < got; ++j) {
@@ -188,9 +212,6 @@ int rfx_fastq_splits(const char* path, int64_t nsplits, int64_t* aligned) {
         break;
       }
     }
-    // suppress unused warning path
-    c_next = 0;
-    (void)c_next;
     aligned[i] = start;
   }
   aligned[nsplits] = size;
@@ -215,24 +236,36 @@ void parse_split(const char* path, int64_t lo, int64_t hi, uint8_t* codes,
     std::fseek(f, (long)lo, SEEK_SET);
     std::vector<char> line(1 << 20);
     int64_t pos = lo;
-    int phase = 0;  // 0=header 1=seq 2=plus 3=qual
+    int phase = 0;       // 0=header 1=seq 2=plus 3=qual
+    int64_t seq_len = 0;  // sequence accumulated across chunks of one line
     while (pos < hi && std::fgets(line.data(), (int)line.size(), f)) {
       size_t len = std::strlen(line.data());
+      bool complete = chunk_completes_line(line.data(), len, line.size());
       if (phase == 1) {
+        // a sequence line may span several fgets chunks (reads longer than
+        // the buffer); decode each chunk in place, advance phase only when
+        // the physical line ends
         size_t sl = len;
         while (sl > 0 && (line[sl - 1] == '\n' || line[sl - 1] == '\r')) --sl;
-        if ((int64_t)sl > mx) mx = (int64_t)sl;
-        if (codes != nullptr) {
+        if (codes != nullptr && seq_len < stride) {
           int64_t w = (int64_t)sl;
-          if (w > stride) w = stride;
-          uint8_t* row = codes + (row0 + n) * stride;
+          if (w > stride - seq_len) w = stride - seq_len;
+          uint8_t* row = codes + (row0 + n) * stride + seq_len;
           for (int64_t i = 0; i < w; ++i)
             row[i] = kCodes.t[(uint8_t)line[i]];
-          lens[row0 + n] = (int32_t)w;
         }
-        ++n;
+        seq_len += (int64_t)sl;
+        if (complete) {
+          if (seq_len > mx) mx = seq_len;
+          if (codes != nullptr) {
+            lens[row0 + n] =
+                (int32_t)(seq_len < stride ? seq_len : stride);
+          }
+          ++n;
+          seq_len = 0;
+        }
       }
-      phase = (phase + 1) % 4;
+      if (complete) phase = (phase + 1) % 4;
       pos += (int64_t)len;
     }
     std::fclose(f);

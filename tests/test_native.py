@@ -172,3 +172,28 @@ def test_multifile_parallel_ingest(tmp_path):
     mat, lens = reads_to_matrix(list(iter_fastq(paths)))
     assert np.array_equal(got[1], lens)
     assert np.array_equal(got[0], mat)
+
+
+def test_splittable_ingest_handles_overlong_lines(tmp_path, monkeypatch):
+    """Sequence lines longer than the 1MB parser buffer must decode intact
+    (phase tracking survives multi-chunk lines in both scan and load)."""
+    import numpy as np
+
+    from reflexiv_tpu import native
+    from reflexiv_tpu.io import iter_fastq, reads_to_matrix
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = random.Random(12)
+    long_seq = "".join(rng.choice("ACGT") for _ in range((1 << 20) + 5000))
+    path = tmp_path / "ont.fq"
+    with open(path, "w") as fh:
+        fh.write(f"@short1\nACGTACGTAA\n+\nIIIIIIIIII\n")
+        fh.write(f"@long\n{long_seq}\n+\n{'I' * len(long_seq)}\n")
+        fh.write(f"@short2\nTTTTGGGGCC\n+\n@IIIIIIIII\n")
+    monkeypatch.setattr(native, "SPLIT_MIN_BYTES", 1)
+    got = native.load_reads_native([str(path)], fmt=0, threads=3)
+    assert got is not None
+    mat, lens = reads_to_matrix(list(iter_fastq([str(path)])))
+    assert np.array_equal(got[1], lens)
+    assert np.array_equal(got[0], mat)
