@@ -722,6 +722,89 @@ def _dyn_pool_from_rows(rows, min_subk_width: int = 1) -> DynRecords:
     )
 
 
+def _fixing_split_arrays(recs: DynRecords, kmax: int, kfix: int = 31):
+    """Vectorized :func:`_fixing_split`: the same end-window/interior/small
+    partition as one batch of gathers (no per-record Python — at production
+    scale the pool holds millions of rows).
+
+    Returns ``(end_windows (M, kfix) uint8, interiors, smalls)`` where
+    interiors/smalls are ``(seq2d, length, subk, left, right)`` array
+    tuples.
+    """
+    seq, length, subk, left, right, live = (np.asarray(a) for a in recs)
+    w = kmax - kfix + 1
+    live_idx = np.nonzero(live)[0]
+    n_all = length[live_idx]
+    big = n_all >= 2 * kmax
+    bidx, sidx = live_idx[big], live_idx[~big]
+    smalls = (seq[sidx], length[sidx].astype(np.int32),
+              subk[sidx].astype(np.int32), left[sidx].astype(np.int32),
+              right[sidx].astype(np.int32))
+    B = len(bidx)
+    if not B:
+        empty = (np.zeros((0, seq.shape[1]), np.uint8),
+                 np.zeros(0, np.int32), np.zeros(0, np.int32),
+                 np.zeros(0, np.int32), np.zeros(0, np.int32))
+        return np.zeros((0, kfix), np.uint8), empty, smalls
+    n = n_all[big]
+    bseq = seq[bidx]
+    Lm = seq.shape[1]
+    rows3 = np.arange(B)[:, None, None]
+    j = np.arange(w, dtype=np.int64)
+    t = np.arange(kfix, dtype=np.int64)
+    heads = bseq[rows3, (j[:, None] + t[None, :])[None]]
+    tail_cols = ((n - w - kfix + 1)[:, None, None]
+                 + j[None, :, None] + t[None, None, :])
+    tails = bseq[rows3, tail_cols]
+    end_windows = np.concatenate(
+        [heads, tails], axis=0).reshape(-1, kfix).astype(np.uint8)
+    # interior: cut w from both ends, re-left-align, zero past new length
+    src = np.minimum(np.arange(Lm, dtype=np.int64)[None, :] + w, Lm - 1)
+    int_len = (n - 2 * w).astype(np.int32)
+    int_seq = np.where(
+        np.arange(Lm)[None, :] < int_len[:, None],
+        bseq[np.arange(B)[:, None], src], 0).astype(np.uint8)
+    bl, br = left[bidx], right[bidx]
+    interiors = (
+        int_seq, int_len, np.full(B, kfix - 1, np.int32),
+        np.where(bl >= 0, 3 + kmax, bl).astype(np.int32),
+        np.where(br >= 0, 3 + kmax, br).astype(np.int32),
+    )
+    return end_windows, interiors, smalls
+
+
+def _dyn_pool_from_parts(parts, min_subk_width: int = 1) -> DynRecords:
+    """Stack ``(seq2d, length, subk, left, right)`` array tuples into one
+    DynRecords pool with block copies (the array form of
+    :func:`_dyn_pool_from_rows`)."""
+    parts = [p for p in parts if len(p[1])]
+    total = max(sum(len(p[1]) for p in parts), 1)
+    maxlen = max([int(p[1].max()) for p in parts if len(p[1])] + [2])
+    cap = max(next_pow2(total), 16)
+    L = next_pow2(maxlen)
+    seq = np.zeros((cap, L), np.uint8)
+    length = np.zeros(cap, np.int32)
+    subk = np.full(cap, min_subk_width, np.int32)
+    left = np.zeros(cap, np.int32)
+    right = np.zeros(cap, np.int32)
+    live = np.zeros(cap, bool)
+    at = 0
+    for pseq, plen, psub, pl, pr in parts:
+        m = len(plen)
+        wsrc = min(pseq.shape[1], L)
+        seq[at: at + m, :wsrc] = pseq[:, :wsrc]
+        length[at: at + m] = plen
+        subk[at: at + m] = psub
+        left[at: at + m] = pl
+        right[at: at + m] = pr
+        live[at: at + m] = True
+        at += m
+    return DynRecords(
+        jnp.asarray(seq), jnp.asarray(length), jnp.asarray(subk),
+        jnp.asarray(left), jnp.asarray(right), jnp.asarray(live),
+    )
+
+
 def fixing_rounds_faithful(
     recs: DynRecords, params: Params, *, kmax: int, kfix: int = 31,
     seed: int = 1000, mesh=None, round_schedule: Tuple[int, ...] = (18, 30),
@@ -750,7 +833,8 @@ def fixing_rounds_faithful(
     from .bitpack import canonical_packed, revcomp_bases
 
     for pass_i, n_rounds in enumerate(round_schedule):
-        end_windows, interiors, smalls = _fixing_split(recs, kmax, kfix)
+        end_windows, interiors, smalls = _fixing_split_arrays(
+            recs, kmax, kfix)
         if not len(end_windows):
             return recs
         fwd = pack_bases(jnp.asarray(end_windows), kfix)
@@ -765,15 +849,14 @@ def fixing_rounds_faithful(
         )
         live31 = np.asarray(rec31.live)
         seq31 = np.asarray(rec31.seq)[live31][:, :kfix]
-        l31 = np.asarray(rec31.left)[live31]
-        r31 = np.asarray(rec31.right)[live31]
-        rows = [
-            (seq31[j], kfix - 1, int(l31[j]), int(r31[j]))
-            for j in range(len(seq31))
-        ]
-        rows.extend(interiors)
-        rows.extend(smalls)
-        pool = _dyn_pool_from_rows(rows)
+        ends_part = (
+            seq31.astype(np.uint8),
+            np.full(len(seq31), kfix, np.int32),
+            np.full(len(seq31), kfix - 1, np.int32),
+            np.asarray(rec31.left)[live31].astype(np.int32),
+            np.asarray(rec31.right)[live31].astype(np.int32),
+        )
+        pool = _dyn_pool_from_parts([ends_part, interiors, smalls])
         fix_params = _dc.replace(params, min_iterations=min(
             params.min_iterations, n_rounds))
         recs = run_dyn_extension(

@@ -194,3 +194,36 @@ def test_faithful_fixing_joins_offset_overlap():
     best = max(canon, key=len)
     assert len(best) == 700
     assert best == canonical_contig(genome)
+
+
+def test_fixing_split_arrays_matches_scalar():
+    """The vectorized fixing split must produce the same end windows,
+    interiors, and small passthroughs as the per-record scalar loop."""
+    import numpy as np
+
+    from reflexiv_tpu.dynamic import _fixing_split, _fixing_split_arrays
+
+    rng = random.Random(5)
+    seqs = [
+        "".join(rng.choice("ACGT") for _ in range(n))
+        for n in (40, 33, 26, 25, 12, 10)  # big (>=2*kmax=26) and small
+    ]
+    pool = _pool_from_strings(seqs, subk=8, left=-1, right=3)
+    kmax, kfix = 13, 9
+    ew_s, ints_s, smalls_s = _fixing_split(pool, kmax, kfix)
+    ew_a, ints_a, smalls_a = _fixing_split_arrays(pool, kmax, kfix)
+    assert sorted(map(bytes, ew_s)) == sorted(map(bytes, ew_a))
+
+    def rows_scalar(tuples):
+        return sorted(
+            (bytes(c), int(sk), int(l), int(r)) for c, sk, l, r in tuples)
+
+    def rows_arrays(part):
+        seq, length, sk, l, r = part
+        return sorted(
+            (bytes(seq[i, :length[i]]), int(sk[i]), int(l[i]), int(r[i]))
+            for i in range(len(length)))
+
+    assert rows_scalar(ints_s) == rows_arrays(ints_a)
+    assert rows_scalar(smalls_s) == rows_arrays(smalls_a)
+    assert len(ew_a) > 0 and len(rows_arrays(ints_a)) > 0
