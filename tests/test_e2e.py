@@ -158,3 +158,79 @@ def test_extend_pass_rejoins_after_end_extension():
     best = max(out, key=len)
     assert len(best) >= 1450
     assert best in genome or oracle.revcomp(best) in genome
+
+
+@pytest.mark.slow
+def test_meta_metagenome_mixed_abundance():
+    """The production use case (HMP metagenomes): three species at very
+    different abundances must each assemble out of one mixed read pool —
+    the multi-k ladder's whole point."""
+    from reflexiv_tpu.dynamic import assemble_dynamic
+
+    rng = random.Random(22)
+    # 15x is the practical coverage floor for min_cov=2 (Poisson dropout
+    # P(cov<2) at lambda ~ 0.78*15 is ~1e-3/kmer; below that the graph
+    # fragments in any assembler with a hard threshold)
+    species = {
+        "a": ("".join(rng.choice("ACGT") for _ in range(20_000)), 40),
+        "b": ("".join(rng.choice("ACGT") for _ in range(12_000)), 25),
+        "c": ("".join(rng.choice("ACGT") for _ in range(8_000)), 15),
+    }
+    reads = []
+    rl = 100
+    for genome, cov in species.values():
+        n = cov * len(genome) // rl
+        for _ in range(n):
+            s = rng.randrange(len(genome) - rl)
+            r = genome[s:s + rl]
+            if rng.random() < 0.5:
+                r = oracle.revcomp(r)
+            reads.append(r)
+    rng.shuffle(reads)
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    out = assemble_dynamic(
+        mat, lens, Params(klist=(23, 31, 41), min_kmer_coverage=2,
+                          min_contig=500), seed=0)
+    seqs = [s for _, s in out]
+    for name, (genome, _cov) in species.items():
+        best = max(
+            (len(s) for s in seqs
+             if s in genome or oracle.revcomp(s) in genome),
+            default=0)
+        assert best >= 0.9 * len(genome), (name, best)
+
+
+@pytest.mark.slow
+def test_meta_accurate_rescues_low_coverage_gap():
+    """-accurate (mercy k-mers): a 30 bp stretch covered by a single read
+    breaks assembly at min_cov=2 unless its coverage-1 k-mers are rescued
+    by their solid flanks (Pipelines.java:1388-1391 sensitive mode)."""
+    from reflexiv_tpu.dynamic import assemble_dynamic
+
+    rng = random.Random(31)
+    genome = "".join(rng.choice("ACGT") for _ in range(6_000))
+    gap_lo, gap_hi = 3000, 3030
+    reads = []
+    for s in range(0, len(genome) - 100, 20):  # ~5x tiling
+        if s + 100 > gap_lo and s < gap_hi:
+            continue  # no regular coverage over the gap
+        reads.append(genome[s:s + 100])
+    # solid coverage right up to both gap edges (the skip above starves a
+    # full read-length margin otherwise)
+    for off in (0, 3, 6, 9):
+        reads.append(genome[gap_lo - 100 - off: gap_lo - off])
+        reads.append(genome[gap_hi + off: gap_hi + off + 100])
+    # one read spans the gap with >= k solid bases on BOTH sides inside
+    # the read (mercy's flank rule is within-read)
+    reads.append(genome[2965:3065])
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    base = assemble_dynamic(
+        mat, lens, Params(klist=(21, 31), min_kmer_coverage=2,
+                          min_contig=400), seed=0)
+    rescued = assemble_dynamic(
+        mat, lens, Params(klist=(21, 31), min_kmer_coverage=2,
+                          min_contig=400, sensitive=True), seed=0)
+    best_base = max((len(s) for _, s in base), default=0)
+    best_resc = max((len(s) for _, s in rescued), default=0)
+    assert best_resc >= 5_500
+    assert best_resc > best_base
