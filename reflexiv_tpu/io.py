@@ -21,6 +21,10 @@ from .bitpack import encode_ascii
 def _open_maybe_gzip(path: str):
     if path.endswith(".gz"):
         return gzip.open(path, "rb")
+    if path.endswith(".bz2"):
+        import bz2
+
+        return bz2.open(path, "rb")
     return open(path, "rb")
 
 
@@ -97,6 +101,8 @@ def load_reads(pattern: str) -> Tuple[np.ndarray, np.ndarray]:
     try:
         from . import native
 
+        if any(p.endswith(".bz2") for p in paths):
+            raise OSError("bz2 input: python reader (zlib can't stream it)")
         out = native.load_reads_native(paths, fmt=0)
         if out is not None and out[0].shape[0] == 0:
             out = native.load_reads_native(paths, fmt=1)

@@ -374,3 +374,21 @@ def test_mercy_table_blocked_matches_single_pass():
 
     assert table(one) == table(blocked)
     assert len(one[1]) > 0
+
+
+def test_bz2_fastq_input(tmp_path):
+    """-infmt bzip parity: .bz2 FASTQ decodes through the Python reader."""
+    import bz2
+
+    import numpy as np
+
+    from reflexiv_tpu.io import load_reads
+
+    rng = random.Random(2)
+    reads = ["".join(rng.choice("ACGT") for _ in range(60)) for _ in range(40)]
+    path = tmp_path / "r.fq.bz2"
+    with bz2.open(path, "wt") as fh:
+        for i, r in enumerate(reads):
+            fh.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+    mat, lens = load_reads(str(path))
+    assert len(lens) == 40 and (np.asarray(lens) == 60).all()
