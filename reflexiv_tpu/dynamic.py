@@ -550,6 +550,7 @@ def run_dyn_extension(
         cap = max(_np2(prev) * 2, 64 * n_dev)
         cap = ((cap + n_dev - 1) // n_dev) * n_dev
         p = _pad_pdyn(p, cap)
+        parked_m: list = []
         it = 1
         while it <= max_rounds:
             if need > p.base_capacity:
@@ -586,7 +587,21 @@ def run_dyn_extension(
                     break
             if it >= params.min_iterations and stable >= 12:
                 break
+            # park finished records off the per-round exchange volume and
+            # recompact the pool to the surviving row count (the sharded
+            # analog of the single-chip parking below)
+            if it % 8 == 0 and it >= 8:
+                fin = np.asarray(pd.finished_mask_pdyn_exact(p, max_sub))
+                n_fin = int(fin.sum())
+                if n_fin > max(32, p.capacity // 8):
+                    p = pd.park_finished_pdyn(p, fin, parked_m)
+                    prev = n - n_fin
+                    cap = max(_np2(max(prev, 1)) * 2, 64 * n_dev)
+                    cap = ((cap + n_dev - 1) // n_dev) * n_dev
+                    p = _pad_pdyn(p, cap)
             it += 1
+        if parked_m:
+            p = pd.merge_parked_pdyn(p, parked_m)
         return pd.to_dyn(p)
 
     parked: list = []
