@@ -89,6 +89,20 @@ def main() -> None:
         "contigs_per_s": round(args.contigs / t_ext), "grew": grew,
     }))
 
+    # --- containment dedup (C++ rfx_dedup): contigs + their halves ------
+    from reflexiv_tpu.dynamic import dedup_contigs
+
+    pool = contigs[: args.contigs // 2]
+    pool += [c[: len(c) // 2] for c in pool[: args.contigs // 4]]
+    t0 = time.time()
+    kept = dedup_contigs(pool)
+    t_dedup = time.time() - t0
+    print(json.dumps({
+        "stage": "dedup", "contigs_in": len(pool), "kept": len(kept),
+        "wall_s": round(t_dedup, 2),
+        "contigs_per_s": round(len(pool) / t_dedup),
+    }))
+
     # --- error correction: ~40x coverage reads, 0.5 errors/read planted ---
     # (at production coverage the weak-position set ~= the error set; a
     # low-coverage matrix would make every position weak and time the wrong
