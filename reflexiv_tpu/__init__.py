@@ -12,6 +12,6 @@ cluster. See SURVEY.md for the reference analysis this is built to.
 from .params import Params
 from .records import Records
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = ["Params", "Records", "__version__"]

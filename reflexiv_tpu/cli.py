@@ -158,7 +158,10 @@ def _load_read_matrix(params: Params):
     pattern = params.input_fastq or params.input_fasta
     if not pattern:
         raise SystemExit("error: provide -fastq or -fasta input")
-    return load_reads_filtered(pattern, params)
+    mat, lens = load_reads_filtered(pattern, params)
+    if mat.shape[0] == 0:
+        raise SystemExit(f"error: no reads found in {pattern}")
+    return mat, lens
 
 
 def cmd_counter(params: Params, seed: int) -> None:

@@ -81,3 +81,53 @@ def test_resume_discards_stale_stages_on_klist_change(tmp_path):
     best = max(canon, key=len)
     import oracle
     assert best in genome or oracle.revcomp(best) in genome
+
+
+@pytest.mark.slow
+def test_meta_survives_midrun_kill(tmp_path):
+    """Fault tolerance end-to-end: SIGKILL a meta run mid-pipeline, rerun
+    the same command, and it resumes from the newest checkpoint to the
+    golden contig (the reference's _SUCCESS restart,
+    Pipelines.java:613-830, exercised by an actual process death)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    out = str(tmp_path / "out")
+    cmd = [sys.executable, "-m", "reflexiv_tpu.cli", "meta",
+           "-fastq", "/root/reference/example/paired_dat*.fq.gz",
+           "-klist", "23,31,41", "-cover", "3", "-outfile", out]
+    env = dict(JAX_PLATFORMS="cpu", PATH="/usr/bin:/bin", HOME="/root",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    proc = subprocess.Popen(
+        cmd, env=env, cwd="/root/repo",
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    # let it get through at least one checkpointed stage, then kill it
+    deadline = time.time() + 120
+    steps = tmp_path / "out" / "steps"
+    while time.time() < deadline and proc.poll() is None:
+        if steps.exists() and any(steps.glob("0*")):
+            break
+        time.sleep(1)
+    assert proc.poll() is None, "meta finished before the kill — slow down"
+    proc.send_signal(signal.SIGKILL)   # exact child PID, never a pattern
+    proc.wait()
+
+    r2 = subprocess.run(cmd, env=env, cwd="/root/repo",
+                        capture_output=True, text=True, timeout=900)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "resuming meta pipeline" in (r2.stdout + r2.stderr)
+    part = tmp_path / "out" / "Assembly" / "part-00000"
+    seqs, cur = [], []
+    with open(part) as fh:
+        for line in fh:
+            if line.startswith(">"):
+                if cur:
+                    seqs.append("".join(cur))
+                cur = []
+            else:
+                cur.append(line.strip())
+    if cur:
+        seqs.append("".join(cur))
+    assert max(len(s) for s in seqs) >= 4500
