@@ -61,6 +61,49 @@ def main():
         "merged_first_round": int(N - jnp.sum(p1.live)),
     }
     print(json.dumps(result), flush=True)
+
+    # mixed-k (meta) round at the same scale: records of k classes 23/31/41
+    from reflexiv_tpu import packed_dyn as pd
+    from reflexiv_tpu.dynamic import DynRecords
+
+    ks = rng.choice([23, 31, 41], N)
+    seqd = np.zeros((N, L), np.uint8)
+    for col in range(41):
+        seqd[:, col] = genome[idx + col]
+    mask = np.arange(L)[None, :] < ks[:, None]
+    seqd = np.where(mask, seqd, 0).astype(np.uint8)
+    dpool = pd.from_dyn(DynRecords(
+        jnp.asarray(seqd), jnp.asarray(ks.astype(np.int32)),
+        jnp.asarray((ks - 1).astype(np.int32)),
+        jnp.full(N, -3, jnp.int32), jnp.full(N, -3, jnp.int32),
+        jnp.ones(N, bool),
+    ))
+
+    def run_dyn(s):
+        out, live, need = pd.pdyn_extension_round_fused(
+            dpool, jnp.uint32(s), kmin=23, max_sub=40)
+        np.asarray(out.length[:8])
+        return out
+
+    run_dyn(1)
+    t0 = time.time()
+    for s in range(2, 2 + iters):
+        run_dyn(s)
+    dtd = (time.time() - t0) / iters
+    result["dyn_seconds_per_round"] = dtd
+    result["dyn_records_per_sec"] = N / dtd
+
+    # exact interval census cost at this scale
+    def run_census():
+        out = pd.finished_mask_pdyn_exact(dpool, 40)
+        np.asarray(out[:8])
+
+    run_census()
+    t0 = time.time()
+    for _ in range(3):
+        run_census()
+    result["census_seconds"] = (time.time() - t0) / 3
+    print(json.dumps(result), flush=True)
     json.dump(result, open("/tmp/tpu_extend_result.json", "w"))
 
 
