@@ -28,7 +28,8 @@ def main():
     rng = np.random.default_rng(0)
     G = 1_000_000
     k = 31
-    genome = rng.integers(0, 4, G + k, dtype=np.uint8)
+    genome = rng.integers(0, 4, G + 41, dtype=np.uint8)  # room for the
+    # mixed-k classes below (max k = 41), not just the single-k pass
     N = 1 << 20
     L = 64
     seq = np.zeros((N, L), np.uint8)
