@@ -147,7 +147,10 @@ def test_finished_mask_pdyn_conservative():
 
 @pytest.mark.slow
 def test_dyn_parking_preserves_assembly():
-    """Forcing the parking path must not change the mixed-k fixpoint."""
+    """Organic e2e over the parking-capable loop (at this scale the
+    parking threshold is not necessarily crossed; the deterministic
+    branch-forcing test is
+    test_parallel.test_dyn_parking_branch_fires_and_preserves_fixpoint)."""
     import random as _random
 
     import sys

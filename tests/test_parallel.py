@@ -314,3 +314,91 @@ def test_multiprocess_two_process_smoke():
     )
     assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-2000:]
     assert "multiprocess smoke: OK" in out.stdout
+
+
+@pytest.mark.slow
+def test_dyn_parking_branch_fires_and_preserves_fixpoint(mesh, monkeypatch):
+    """Deterministically force the mixed-k parking branch (it >= 8 and
+    finished > capacity/8) in BOTH the single-chip and the sharded loop and
+    prove the fixpoint is unchanged.
+
+    Pool: a 1024-record overlap chain (needs ~10 merge rounds, keeps the
+    loop alive past round 8) + 600 isolated records whose head/tail windows
+    have no partner (finished from round 1, crossing the parking threshold
+    at round 8). The organic e2e tests never cross that threshold at test
+    scale, so without this test park_finished_pdyn/merge_parked_pdyn would
+    only ever run on the round-1 narrow-census path.
+    """
+    from reflexiv_tpu import packed_dyn as pd
+    from reflexiv_tpu.dynamic import DynRecords, run_dyn_extension
+    from reflexiv_tpu.params import Params
+
+    k = 21
+    n_chain, n_iso = 1024, 600
+    rng = np.random.default_rng(5)
+    genome = rng.integers(0, 4, n_chain + k - 1, dtype=np.uint8)
+    cap_len = 64
+    n = n_chain + n_iso
+    seq = np.zeros((n, cap_len), np.uint8)
+    length = np.zeros(n, np.int32)
+    for i in range(n_chain):
+        seq[i, :k] = genome[i:i + k]
+        length[i] = k
+    iso = rng.integers(0, 4, size=(n_iso, 2 * k), dtype=np.uint8)
+    seq[n_chain:, : 2 * k] = iso
+    length[n_chain:] = 2 * k
+
+    # precondition: every isolated head/tail (k-1)-window is unique in the
+    # pool (so those records are finished) and chain windows pair up
+    wins = {}
+    for i in range(n):
+        for w in (bytes(seq[i, : k - 1]),
+                  bytes(seq[i, length[i] - k + 1: length[i]])):
+            wins[w] = wins.get(w, 0) + 1
+    for i in range(n_chain, n):
+        assert wins[bytes(seq[i, : k - 1])] == 1
+        assert wins[bytes(seq[i, k + 1: 2 * k])] == 1
+
+    recs = DynRecords(
+        jnp.asarray(seq), jnp.asarray(length),
+        jnp.full(n, k - 1, jnp.int32),
+        jnp.full(n, -3, jnp.int32), jnp.full(n, -3, jnp.int32),
+        jnp.ones(n, bool),
+    )
+    params = Params(k=k, min_iterations=15)
+
+    calls = {"n": 0}
+    orig = pd.park_finished_pdyn
+
+    def counting_park(p, fin, parked):
+        calls["n"] += 1
+        return orig(p, fin, parked)
+
+    monkeypatch.setattr(pd, "park_finished_pdyn", counting_park)
+
+    single = run_dyn_extension(recs, params, kmin=k, kmax=k, seed=0)
+    single_parks = calls["n"]
+    calls["n"] = 0
+    sharded = run_dyn_extension(recs, params, kmin=k, kmax=k, seed=0,
+                                mesh=mesh)
+    sharded_parks = calls["n"]
+    assert single_parks >= 1, "single-chip parking branch never fired"
+    assert sharded_parks >= 1, "sharded parking branch never fired"
+
+    def canon_seqs(d):
+        s = np.asarray(d.seq)
+        ln = np.asarray(d.length)
+        out = []
+        for i in np.nonzero(np.asarray(d.live))[0]:
+            fwd = bytes(s[i, : ln[i]])
+            rc = bytes(3 - np.frombuffer(fwd, np.uint8)[::-1])
+            out.append(min(fwd, rc))
+        return sorted(out)
+
+    a, b = canon_seqs(single), canon_seqs(sharded)
+    assert a == b
+    lens = sorted(len(x) for x in a)
+    # 600 untouched isolated records + the fully merged 1044 bp chain
+    assert lens[-1] == n_chain + k - 1
+    assert lens.count(2 * k) == n_iso
+    assert len(a) == n_iso + 1
