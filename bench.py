@@ -59,6 +59,10 @@ def bench_counting(tile: int = 64, iters: int = 3):
     import jax
     import jax.numpy as jnp
     from reflexiv_tpu import pallas_kernels
+    from reflexiv_tpu.cli import _enable_compilation_cache
+
+    _enable_compilation_cache()  # TPU-only persistent cache: the warmup
+    # compile dominates a cold tunnel session otherwise
     from reflexiv_tpu.count import count_pass_fused, sort_count_filter
     from reflexiv_tpu.io import load_reads
 
