@@ -84,24 +84,25 @@ def bench_counting(tile: int = 64, iters: int = 3):
         and pallas_kernels.supports(k)
     )
 
-    def run_to_completion():
+    def run():
         if use_pallas:
             limbs, valid = pallas_kernels.extract_canonical_kmers_pallas(
                 bases, lengths, k=k)
-            out = sort_count_filter(
+            return sort_count_filter(
                 limbs, valid, min_cov=3, max_cov=10_000_000)
-        else:
-            out = count_pass_fused(
-                bases, lengths, k=k, min_cov=3, max_cov=10_000_000)
-        # force completion with a host fetch: block_until_ready is a no-op on
-        # the experimental axon platform
-        np.asarray(out[1][:8])
-        return out
+        return count_pass_fused(
+            bases, lengths, k=k, min_cov=3, max_cov=10_000_000)
 
-    run_to_completion()  # warmup/compile
+    # force completion with a host fetch: block_until_ready is a no-op on
+    # the experimental axon platform
+    np.asarray(run()[1][:8])  # warmup/compile
     t0 = time.perf_counter()
     for _ in range(iters):
-        run_to_completion()
+        out = run()
+    # the device executes enqueued programs in order, so one fetch after the
+    # last pass bounds all of them — fetching per pass would bill one tunnel
+    # round trip (~20 ms on the remote-TPU link) to every pass
+    np.asarray(out[1][:8])
     dt = (time.perf_counter() - t0) / iters
     dev = jax.devices()[0]
     return {
