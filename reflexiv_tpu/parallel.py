@@ -639,6 +639,18 @@ def assemble_reads_sharded(
             stable += 1
         else:
             stable, prev = 0, live_n
+        # exact-termination census, same rule as the single-chip loop
+        # (assembler.py): once stable for 3 rounds, ask the mesh-wide
+        # head/tail partner census whether any live record can still merge;
+        # none left means no future round can change anything, so stop
+        # exactly instead of paying up to 12 dead all_to_all rounds. The
+        # 12-stable fallback covers self-partnered keys (circular/repeat
+        # ends) that keep the census non-empty without ever merging.
+        if stable >= 3 and stable % 3 == 0:
+            fin = np_.asarray(finished_mask_sharded(
+                p, k=params.k, mesh=mesh, cap_factor=cap_factor))
+            if int(fin.sum()) == live_n:
+                break
         if it >= params.min_iterations and stable >= 12:
             break
         # park finished records off the per-round exchange volume (the
@@ -652,6 +664,9 @@ def assemble_reads_sharded(
                 p = pk.park_finished_rows(p, fin, parked)
                 prev = live_n - n_fin
 
+    from . import metrics
+
+    metrics.current().set("sharded/extension_rounds", it)
     if parked:
         p = pk.merge_parked_packed(p, parked)
     return emit_contigs(pk.to_records(p), min_contig=params.min_contig)

@@ -28,8 +28,10 @@ def main():
     rng = np.random.default_rng(0)
     G = 1_000_000
     k = 31
-    genome = rng.integers(0, 4, G + 41, dtype=np.uint8)  # room for the
-    # mixed-k classes below (max k = 41), not just the single-k pass
+    K_CLASSES = (23, 31, 41)  # the mixed-k classes sampled below
+    # genome pad derived from the largest k actually used (single-k pass and
+    # mixed-k classes) so a future class-list change can't under-allocate
+    genome = rng.integers(0, 4, G + max(K_CLASSES + (k,)), dtype=np.uint8)
     N = 1 << 20
     L = 64
     seq = np.zeros((N, L), np.uint8)
@@ -67,9 +69,9 @@ def main():
     from reflexiv_tpu import packed_dyn as pd
     from reflexiv_tpu.dynamic import DynRecords
 
-    ks = rng.choice([23, 31, 41], N)
+    ks = rng.choice(list(K_CLASSES), N)
     seqd = np.zeros((N, L), np.uint8)
-    for col in range(41):
+    for col in range(max(K_CLASSES)):
         seqd[:, col] = genome[idx + col]
     mask = np.arange(L)[None, :] < ks[:, None]
     seqd = np.where(mask, seqd, 0).astype(np.uint8)

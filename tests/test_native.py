@@ -197,3 +197,12 @@ def test_splittable_ingest_handles_overlong_lines(tmp_path, monkeypatch):
     mat, lens = reads_to_matrix(list(iter_fastq([str(path)])))
     assert np.array_equal(got[1], lens)
     assert np.array_equal(got[0], mat)
+
+
+def test_4mc_input_refused_loudly(tmp_path):
+    """hadoop-4mc container input must fail with an error naming the format
+    (the reference reads .4mc via a JNI codec; we don't — VERDICT r2 #6)."""
+    p = tmp_path / "reads.4mc"
+    p.write_bytes(b"\x00\x04mc-not-really")
+    with pytest.raises(ValueError, match="hadoop-4mc"):
+        expand_paths(str(p))
