@@ -104,13 +104,30 @@ def _has_spare_key_bits(k: int) -> bool:
     return (2 * k) % 32 != 0
 
 
-@functools.partial(jax.jit, static_argnames=("min_cov", "max_cov"))
+def pallas_sort_wanted(k: int) -> bool:
+    """Whether the counting pass should use the hierarchical Pallas bitonic
+    sort (:mod:`sort_kernels`) instead of ``lax.sort``: two-limb keys with
+    sentinel spare bits, on a real TPU, opt-in via REFLEXIV_PALLAS_SORT
+    (off by default until validated on hardware this round)."""
+    import os
+
+    return (
+        os.environ.get("REFLEXIV_PALLAS_SORT", "0") != "0"
+        and num_limbs(k) == 2
+        and _has_spare_key_bits(k)
+        and jax.devices()[0].platform == "tpu"
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("min_cov", "max_cov", "pallas_sort"))
 def sort_count_filter(
     limbs: jnp.ndarray,   # (N, W) uint32
     valid: jnp.ndarray,   # (N,) bool
     *,
     min_cov: int,
     max_cov: int,
+    pallas_sort: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Sort packed k-mers, run-length count, apply coverage band.
 
@@ -119,10 +136,30 @@ def sort_count_filter(
     (the reference's filter at ``ReflexivDSMain.java:211-216``).
 
     TPU notes: a single variadic ``lax.sort`` moves the key limbs directly
-    (no argsort + gather round trip).
+    (no argsort + gather round trip). With ``pallas_sort`` (two-limb keys
+    whose hi limb has spare bits, i.e. any k <= 31), the XLA bitonic is
+    replaced by the hierarchical VMEM bitonic (:mod:`sort_kernels`) —
+    validity rides the all-ones sentinel encoding instead of a payload, and
+    the returned arrays are sentinel-padded to a power-of-two length
+    (padded rows have ``keep`` False).
     """
     N, W = limbs.shape
     sentinel = jnp.uint32(0xFFFFFFFF)
+    if pallas_sort:
+        if W != 2:
+            raise ValueError("pallas_sort supports two-limb keys only")
+        from . import sort_kernels
+
+        hi = jnp.where(valid, limbs[:, 0], sentinel)
+        lo = jnp.where(valid, limbs[:, 1], sentinel)
+        interpret = jax.devices()[0].platform != "tpu"
+        shi, slo = sort_kernels.sort_pairs_padded(
+            hi, lo, interpret=interpret)
+        svalid = shi != sentinel
+        Np = shi.shape[0]
+        row_count, keep = _runlength_keep(
+            (shi, slo), svalid, Np, min_cov, max_cov)
+        return jnp.stack((shi, slo), axis=-1), row_count, keep
     cols = tuple(
         jnp.where(valid, limbs[:, i], sentinel) for i in range(W)
     )
@@ -334,7 +371,8 @@ def count_kmers(
             jnp.asarray(bases), jnp.asarray(lengths), k=k
         )
         skey, row_count, keep = sort_count_filter(
-            limbs, valid, min_cov=min_cov, max_cov=max_cov
+            limbs, valid, min_cov=min_cov, max_cov=max_cov,
+            pallas_sort=pallas_sort_wanted(k),
         )
     else:
         skey, row_count, keep = count_pass_fused(
