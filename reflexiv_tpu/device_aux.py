@@ -1,0 +1,68 @@
+"""Shared device primitives for the aux stages (end-extend, patching,
+correction): two-limb binary search and ragged hit expansion.
+
+These replace host-side ``np.searchsorted`` on uint64 keys: JAX runs with
+x64 disabled, so 62-bit packed k-mers live as (hi, lo) uint32 limb pairs
+and range lookups become a vectorized lexicographic binary search (27
+gather-compare iterations instead of a union re-sort per query batch).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("side",))
+def searchsorted_2limb(
+    thi: jnp.ndarray, tlo: jnp.ndarray,   # sorted table limbs (U,)
+    qhi: jnp.ndarray, qlo: jnp.ndarray,   # query limbs (N,)
+    *, side: str = "left",
+) -> jnp.ndarray:
+    """``np.searchsorted`` over lexicographic (hi, lo) uint32 pairs."""
+    U = thi.shape[0]
+    if U == 0:
+        return jnp.zeros(qhi.shape, jnp.int32)
+    n_iter = max(int(U).bit_length(), 1)
+    lo = jnp.zeros(qhi.shape, jnp.int32)
+    hi = jnp.full(qhi.shape, U, jnp.int32)
+
+    def body(_, lh):
+        lo, hi = lh
+        active = lo < hi
+        mid = jnp.minimum((lo + hi) >> 1, U - 1)
+        mh = thi[mid]
+        ml = tlo[mid]
+        if side == "left":
+            go_right = (mh < qhi) | ((mh == qhi) & (ml < qlo))
+        else:
+            go_right = (mh < qhi) | ((mh == qhi) & (ml <= qlo))
+        lo = jnp.where(active & go_right, mid + 1, lo)
+        hi = jnp.where(active & ~go_right, mid, hi)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
+    return lo
+
+
+def expand_ranges(lo: jnp.ndarray, cnt: jnp.ndarray, cap: int):
+    """Flatten per-query hit ranges [lo, lo+cnt) into flat pointer arrays.
+
+    Returns ``(ptr, owner, valid)`` each of static length ``cap``:
+    ``ptr[h]`` indexes the table row of hit h, ``owner[h]`` the query it
+    belongs to, ``valid[h]`` masks the padding tail. Hits appear grouped by
+    query in query order (same layout as the numpy ``np.repeat`` path).
+    """
+    C = lo.shape[0]
+    cnt = cnt.astype(jnp.int32)
+    seg_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt)[:-1]])
+    owner = jnp.repeat(jnp.arange(C, dtype=jnp.int32), cnt,
+                       total_repeat_length=cap)
+    h = jnp.arange(cap, dtype=jnp.int32)
+    within = h - jnp.repeat(seg_start, cnt, total_repeat_length=cap)
+    ptr = jnp.repeat(lo.astype(jnp.int32), cnt,
+                     total_repeat_length=cap) + within
+    valid = h < jnp.sum(cnt)
+    return ptr, owner, valid

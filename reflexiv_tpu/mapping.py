@@ -110,6 +110,229 @@ class _MatrixWindowIndex:
         return (self.bases[row, cols] ^ 3).astype(np.uint8)
 
 
+class _DeviceWindowIndex:
+    """Device-resident window index: sorted two-limb window keys over both
+    strands with (row, end<<1|strand) payload, built and sorted on the
+    accelerator (VERDICT r2 #2 — the numpy index build + argsort was the
+    host-bound half of the end-extend stage).
+
+    Same contents as :class:`_MatrixWindowIndex` for k <= 31: forward
+    window j of read r contributes (fwd_value, r, end=j+k, strand=0); its
+    reverse complement contributes (rc_value, r, end=n-j, strand=1) — the
+    rc value of forward window j IS the window of the RC read ending at
+    n-j, so one rolling pass yields both strands.
+    """
+
+    def __init__(self, bases: np.ndarray, lengths: np.ndarray, k: int):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        self.k = k
+        R, L = bases.shape
+        self.L = L
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def build(mat, lens, k):
+            R, L = mat.shape
+            Wn = L - k + 1
+            fhi = jnp.zeros((R, Wn), jnp.uint32)
+            flo = jnp.zeros((R, Wn), jnp.uint32)
+            rhi = jnp.zeros((R, Wn), jnp.uint32)
+            rlo = jnp.zeros((R, Wn), jnp.uint32)
+            for j in range(k):
+                col = mat[:, j: j + Wn].astype(jnp.uint32)
+                bitpos = 2 * (k - 1 - j)
+                if bitpos >= 32:
+                    fhi = fhi | (col << (bitpos - 32))
+                else:
+                    flo = flo | (col << bitpos)
+                rcpos = 2 * j
+                if rcpos >= 32:
+                    rhi = rhi | ((col ^ 3) << (rcpos - 32))
+                else:
+                    rlo = rlo | ((col ^ 3) << rcpos)
+            ends_f = jnp.arange(k, L + 1, dtype=jnp.int32)[None, :]
+            n = lens.astype(jnp.int32)[:, None]
+            ok = ends_f <= n
+            row = jnp.broadcast_to(
+                jnp.arange(R, dtype=jnp.uint32)[:, None], (R, Wn))
+            sent = jnp.uint32(0xFFFFFFFF)
+            ends_r = n - (ends_f - k)  # rc-read end of forward window j
+            keys_hi = jnp.concatenate(
+                [jnp.where(ok, fhi, sent).reshape(-1),
+                 jnp.where(ok, rhi, sent).reshape(-1)])
+            keys_lo = jnp.concatenate(
+                [jnp.where(ok, flo, sent).reshape(-1),
+                 jnp.where(ok, rlo, sent).reshape(-1)])
+            meta_f = (jnp.broadcast_to(ends_f, (R, Wn)).astype(jnp.uint32)
+                      << 1)
+            meta_r = (jnp.broadcast_to(ends_r, (R, Wn)).astype(jnp.uint32)
+                      << 1) | 1
+            meta = jnp.concatenate(
+                [meta_f.reshape(-1), meta_r.reshape(-1)])
+            rows = jnp.concatenate([row.reshape(-1), row.reshape(-1)])
+            s = jax.lax.sort((keys_hi, keys_lo, rows, meta), num_keys=2)
+            return s
+
+        if L - k + 1 <= 0 or R == 0:
+            z = jnp.zeros(0, jnp.uint32)
+            self.keys_hi = self.keys_lo = self.rows = self.meta = z
+            self.n_valid = 0
+        else:
+            khi, klo, rows, meta = build(
+                jnp.asarray(bases), jnp.asarray(lengths), k)
+            self.keys_hi, self.keys_lo = khi, klo
+            self.rows, self.meta = rows, meta
+            sent = np.uint32(0xFFFFFFFF)
+            self.n_valid = int(jnp.sum(khi != sent))
+        self.bases = jnp.asarray(bases)
+        self.lengths = jnp.asarray(lengths.astype(np.int32))
+
+
+def _device_round_fns():
+    if _DEV_ROUND_FNS:
+        return _DEV_ROUND_FNS
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from .device_aux import expand_ranges, searchsorted_2limb
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def anchor_keys(codes, k):
+        C = codes.shape[0]
+        hi = jnp.zeros(C, jnp.uint32)
+        lo = jnp.zeros(C, jnp.uint32)
+        for j in range(k):
+            col = codes[:, j].astype(jnp.uint32)
+            bitpos = 2 * (k - 1 - j)
+            if bitpos >= 32:
+                hi = hi | (col << (bitpos - 32))
+            else:
+                lo = lo | (col << bitpos)
+        return hi, lo
+
+    @jax.jit
+    def hit_ranges(khi, klo, qhi, qlo):
+        lo = searchsorted_2limb(khi, klo, qhi, qlo, side="left")
+        hi = searchsorted_2limb(khi, klo, qhi, qlo, side="right")
+        return lo, hi - lo
+
+    @functools.partial(jax.jit, static_argnames=("cap",))
+    def expand(lo, cnt, cap):
+        return expand_ranges(lo, cnt, cap)
+
+    @functools.partial(jax.jit, static_argnames=("C", "max_tail"))
+    def votes(bases, lengths, rows_t, meta_t, ptr, owner, valid, counts,
+              C, max_tail):
+        """Accumulate per-(contig, column, base) votes for one hit chunk:
+        tails gathered straight from the code matrix, votes contracted on
+        the MXU via a (C, hits) one-hot owner matrix (one matmul per
+        base)."""
+        U = rows_t.shape[0]
+        L = bases.shape[1]
+        ptr = jnp.minimum(ptr, jnp.maximum(U - 1, 0))
+        rows = rows_t[ptr].astype(jnp.int32)
+        meta = meta_t[ptr]
+        ends = (meta >> 1).astype(jnp.int32)
+        strand = (meta & 1).astype(jnp.int32)
+        n = lengths[rows]
+        pos = jnp.arange(max_tail, dtype=jnp.int32)[None, :]
+        colf = ends[:, None] + pos
+        tvalid = (colf < n[:, None]) & valid[:, None]
+        col = jnp.where(strand[:, None] == 0, colf, n[:, None] - 1 - colf)
+        vals = bases[rows[:, None], jnp.clip(col, 0, L - 1)]
+        vals = jnp.where(strand[:, None] == 1, vals ^ 3, vals)
+        owner_oh = (owner[None, :] == jnp.arange(C, dtype=jnp.int32)[:, None]
+                    ).astype(jnp.bfloat16)
+        parts = []
+        for b in range(4):
+            m = (tvalid & (vals == b)).astype(jnp.bfloat16)
+            parts.append(jnp.dot(owner_oh, m,
+                                 preferred_element_type=jnp.float32))
+        return counts + jnp.stack(parts, axis=-1).astype(jnp.int32)
+
+    @jax.jit
+    def finalize(counts):
+        tot = counts.sum(-1)
+        best = counts.argmax(-1)
+        bestc = jnp.take_along_axis(counts, best[..., None], -1)[..., 0]
+        # integer-exact form of bestc/tot >= MIN_MAJORITY (numpy oracle
+        # computes the f64 division; for realistic counts the two agree)
+        ok = (tot >= MIN_SUPPORT) & (
+            bestc * 10 >= jnp.int32(round(MIN_MAJORITY * 10)) * tot)
+        ok = jnp.cumprod(ok.astype(jnp.int32), axis=1).astype(bool)
+        ext_len = ok.sum(1)
+        return best.astype(jnp.uint8), ext_len.astype(jnp.int32)
+
+    _DEV_ROUND_FNS.update(anchor_keys=anchor_keys, hit_ranges=hit_ranges,
+                          expand=expand, votes=votes, finalize=finalize)
+    return _DEV_ROUND_FNS
+
+
+_DEV_ROUND_FNS: dict = {}
+
+
+def _batch_extensions_device(
+    seqs: List[str],
+    active: List[int],
+    index: "_DeviceWindowIndex",
+    anchor: int,
+    max_tail: int,
+    chunk: int = 1024,
+) -> List[np.ndarray]:
+    """Device counterpart of :func:`_batch_extensions`: anchor lookup by
+    two-limb binary search, hit-tail gather and one-hot-matmul consensus
+    all jitted; only the per-chunk hit total round-trips to the host."""
+    import jax.numpy as jnp
+
+    from .bitpack import encode_ascii
+
+    fns = _device_round_fns()
+    out: List[np.ndarray] = []
+    for lo_c in range(0, len(active), chunk):
+        ids = active[lo_c: lo_c + chunk]
+        C = len(ids)
+        # pad the query block to a power of two so compile shapes stay
+        # quantized (padding repeats the first anchor; outputs discarded)
+        Cp = 64
+        while Cp < C:
+            Cp <<= 1
+        ids_p = ids + [ids[0]] * (Cp - C)
+        tails_ascii = np.frombuffer(
+            "".join(seqs[i][-anchor:] for i in ids_p).encode(), np.uint8
+        ).reshape(Cp, anchor)
+        codes = jnp.asarray(encode_ascii(tails_ascii))
+        qhi, qlo = fns["anchor_keys"](codes, k=anchor)
+        lo, cnt = fns["hit_ranges"](
+            index.keys_hi, index.keys_lo, qhi, qlo)
+        H = int(jnp.sum(cnt))
+        if H == 0:
+            out.extend(np.zeros(0, np.uint8) for _ in ids)
+            continue
+        HC = 1 << 17   # hit-chunk bound: caps the (C, hits) one-hot matmul
+        cap_total = 256
+        while cap_total < H:
+            cap_total <<= 1
+        chunk_sz = min(cap_total, HC)
+        ptr, owner, valid = fns["expand"](lo, cnt, cap=cap_total)
+        counts = jnp.zeros((Cp, max_tail, 4), jnp.int32)
+        for off in range(0, cap_total, chunk_sz):
+            counts = fns["votes"](
+                index.bases, index.lengths, index.rows, index.meta,
+                ptr[off: off + chunk_sz], owner[off: off + chunk_sz],
+                valid[off: off + chunk_sz], counts, C=Cp, max_tail=max_tail)
+        best, ext_len = fns["finalize"](counts)
+        best_np = np.asarray(best)
+        len_np = np.asarray(ext_len)
+        for c in range(C):
+            out.append(best_np[c, : len_np[c]])
+    return out
+
+
 def _consensus_codes(tails: List[np.ndarray]) -> np.ndarray:
     """Majority-vote consensus over ragged code tails."""
     if not tails:
@@ -212,10 +435,13 @@ def _extend_right_batch(
 
     seqs = list(seqs)
     active = [i for i, s in enumerate(seqs) if len(s) >= anchor]
+    batch_fn = (_batch_extensions_device
+                if isinstance(index, _DeviceWindowIndex)
+                else _batch_extensions)
     for _ in range(max_rounds):
         if not active:
             break
-        exts = _batch_extensions(seqs, active, index, anchor, max_tail)
+        exts = batch_fn(seqs, active, index, anchor, max_tail)
         nxt = []
         for i, ext in zip(active, exts):
             if len(ext):
@@ -244,8 +470,19 @@ def end_extend_arrays(
     lookup + tail gather + bincount consensus over every still-growing
     contig (contigs do not interact — the read index is static — so the
     result equals the per-contig loop's).
+
+    Unless ``REFLEXIV_DEVICE_STAGES=0``, the index lives on the accelerator
+    (built and sorted there) and each round's lookup + tail gather + vote
+    runs as jitted array programs (:func:`_batch_extensions_device`).
     """
-    index = _MatrixWindowIndex(np.asarray(bases), np.asarray(lengths), anchor)
+    import os
+
+    if os.environ.get("REFLEXIV_DEVICE_STAGES", "1") != "0":
+        index = _DeviceWindowIndex(
+            np.asarray(bases), np.asarray(lengths), anchor)
+    else:
+        index = _MatrixWindowIndex(
+            np.asarray(bases), np.asarray(lengths), anchor)
     seqs = _extend_right_batch(contigs, index, anchor, max_rounds, max_tail)
     seqs = _extend_right_batch(
         [revcomp_str(s) for s in seqs], index, anchor, max_rounds, max_tail)

@@ -30,6 +30,7 @@ device pipeline never sees them (N has no 2-bit code).
 from __future__ import annotations
 
 import logging
+import os
 import statistics
 from collections import Counter, defaultdict
 from typing import Dict, List, Optional, Tuple
@@ -212,6 +213,120 @@ def _end_index_arrays(
 from .bitpack import revcomp_matrix as _rc_matrix  # noqa: E305
 
 
+_DEV_MAP_FNS: dict = {}
+
+
+def _dev_map_fns():
+    """Jitted device kernel for the strided-seed read mapping (lazy build,
+    cached)."""
+    if _DEV_MAP_FNS:
+        return _DEV_MAP_FNS
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from .device_aux import searchsorted_2limb
+
+    @functools.partial(jax.jit, static_argnames=("k", "stride"))
+    def map_chunk(m, n, acgt, khi, klo, ici, iend, ipos, istrand, k, stride):
+        R, L = m.shape
+        Wn = L - k + 1
+        hi = jnp.zeros((R, Wn), jnp.uint32)
+        lo = jnp.zeros((R, Wn), jnp.uint32)
+        for j in range(k):
+            col = m[:, j: j + Wn].astype(jnp.uint32)
+            bitpos = 2 * (k - 1 - j)
+            if bitpos >= 32:
+                hi = hi | (col << (bitpos - 32))
+            else:
+                lo = lo | (col << bitpos)
+        seeds = jnp.arange(0, Wn, stride, dtype=jnp.int32)
+        S = seeds.shape[0]
+        qhi, qlo = hi[:, ::stride], lo[:, ::stride]
+        n64 = n.astype(jnp.int32)
+        valid = (seeds[None, :] < jnp.maximum(1, n64[:, None] - k + 1)) & (
+            seeds[None, :] + k <= n64[:, None]) & acgt[:, ::stride]
+        nk = khi.shape[0]
+        p = searchsorted_2limb(
+            khi, klo, qhi.reshape(-1), qlo.reshape(-1)).reshape(R, S)
+        p = jnp.minimum(p, nk - 1)
+        hit = (khi[p] == qhi) & (klo[p] == qlo) & valid
+        got = hit.any(axis=1)
+        first = jnp.argmax(hit, axis=1)
+        rr = jnp.arange(R, dtype=jnp.int32)
+        e = p[rr, first]
+        j = seeds[first]
+        pos5 = jnp.where(
+            istrand[e] == 0, ipos[e] - j, ipos[e] + k - 1 + j)
+        zero = jnp.int32(0)
+        return (jnp.where(got, ici[e], zero),
+                jnp.where(got, iend[e].astype(jnp.int32), zero),
+                jnp.where(got, pos5, zero),
+                jnp.where(got, istrand[e].astype(jnp.int32), zero),
+                got)
+
+    _DEV_MAP_FNS["map_chunk"] = map_chunk
+    return _DEV_MAP_FNS
+
+
+def _map_reads_arrays_device(
+    mat: np.ndarray, lens: np.ndarray, idx: _EndIndexArrays,
+    k: int = SEED_K, stride: int = 7, chunk: int = 1 << 16,
+    acgt_ok: np.ndarray = None,
+):
+    """Device counterpart of :func:`_map_reads_arrays`: the rolling seed
+    keys, two-limb index search and first-hit selection run jitted on the
+    accelerator; chunks are padded to quantized row counts so compile
+    shapes stay bounded (VERDICT r2 #2)."""
+    import jax.numpy as jnp
+
+    R, L = mat.shape
+    out_ci = np.zeros(R, np.int64)
+    out_end = np.zeros(R, np.int8)
+    out_pos = np.zeros(R, np.int64)
+    out_strand = np.zeros(R, np.int8)
+    mapped = np.zeros(R, bool)
+    if idx is None or len(idx.keys) == 0 or L < k:
+        return out_ci, out_end, out_pos, out_strand, mapped
+    fns = _dev_map_fns()
+    khi = jnp.asarray((idx.keys >> np.uint64(32)).astype(np.uint32))
+    klo = jnp.asarray((idx.keys & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    ici = jnp.asarray(idx.ci.astype(np.int32))
+    iend = jnp.asarray(idx.end.astype(np.int32))
+    ipos = jnp.asarray(idx.pos.astype(np.int32))
+    istrand = jnp.asarray(idx.strand.astype(np.int32))
+    Wn = L - k + 1
+    if acgt_ok is None:
+        acgt_all = np.ones((R, Wn), bool)
+    else:
+        acgt_all = acgt_ok
+    for lo_r in range(0, R, chunk):
+        hi_r = min(lo_r + chunk, R)
+        n_rows = hi_r - lo_r
+        cap = 4096
+        while cap < n_rows:
+            cap <<= 1
+        cap = min(cap, chunk)
+        pad = cap - n_rows
+        m = np.zeros((cap, L), mat.dtype)
+        m[:n_rows] = mat[lo_r:hi_r]
+        n = np.zeros(cap, np.int32)
+        n[:n_rows] = lens[lo_r:hi_r]
+        ac = np.zeros((cap, Wn), bool)
+        ac[:n_rows] = acgt_all[lo_r:hi_r]
+        ci, ed, p5, st, got = fns["map_chunk"](
+            jnp.asarray(m), jnp.asarray(n), jnp.asarray(ac),
+            khi, klo, ici, iend, ipos, istrand, k=k, stride=stride)
+        sl = slice(lo_r, hi_r)
+        out_ci[sl] = np.asarray(ci)[:n_rows]
+        out_end[sl] = np.asarray(ed)[:n_rows].astype(np.int8)
+        out_pos[sl] = np.asarray(p5)[:n_rows]
+        out_strand[sl] = np.asarray(st)[:n_rows].astype(np.int8)
+        mapped[sl] = np.asarray(got)[:n_rows]
+    return out_ci, out_end, out_pos, out_strand, mapped
+
+
 def _map_reads_arrays(
     mat: np.ndarray, lens: np.ndarray, idx: _EndIndexArrays,
     k: int = SEED_K, stride: int = 7, chunk: int = 1 << 16,
@@ -222,7 +337,14 @@ def _map_reads_arrays(
     ``acgt_ok``: optional (R, L-k+1) window mask in this matrix's
     orientation — N-bearing seeds never match (the string path's behavior).
     Returns (ci, end, pos5, strand, mapped) arrays over all reads.
+
+    Dispatches to :func:`_map_reads_arrays_device` unless
+    ``REFLEXIV_DEVICE_STAGES=0`` (this numpy body is the oracle).
     """
+    if os.environ.get("REFLEXIV_DEVICE_STAGES", "1") != "0":
+        return _map_reads_arrays_device(
+            mat, lens, idx, k=k, stride=stride, chunk=chunk,
+            acgt_ok=acgt_ok)
     R, L = mat.shape
     out_ci = np.zeros(R, np.int64)
     out_end = np.zeros(R, np.int8)

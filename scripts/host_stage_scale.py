@@ -20,7 +20,6 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import numpy as np  # noqa: E402
 
@@ -33,13 +32,25 @@ def main() -> None:
     ap.add_argument("--genome", type=int, default=0,
                     help="genome bp (default: 1000 x contigs so end "
                          "windows are distinct)")
+    ap.add_argument("--platform", default="cpu", choices=("cpu", "default"),
+                    help="cpu = pin the CPU backend (host numbers); "
+                         "default = whatever jax picks (the TPU when up)")
+    ap.add_argument("--device-stages", default="1", choices=("0", "1"),
+                    help="REFLEXIV_DEVICE_STAGES: 1 = jitted device aux "
+                         "stages (default), 0 = numpy oracles")
     args = ap.parse_args()
     if not args.genome:
         args.genome = args.contigs * 1000
+    os.environ["REFLEXIV_DEVICE_STAGES"] = args.device_stages
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    print(json.dumps({
+        "platform": jax.devices()[0].platform,
+        "device_stages": args.device_stages,
+    }))
 
     rng = np.random.default_rng(7)
     genome_codes = rng.integers(0, 4, args.genome, dtype=np.uint8)

@@ -75,3 +75,35 @@ def test_batched_equals_scalar_end_extension():
     want = end_extend_arrays_scalar(contigs, bases, lens)
     assert got == want
     assert any(len(g) > len(c) for g, c in zip(got, contigs))
+
+
+def test_device_equals_numpy_end_extension(monkeypatch):
+    """The accelerator path (device index + searchsorted_2limb + one-hot
+    matmul votes) must reproduce the numpy batched path exactly."""
+    import numpy as np
+
+    from reflexiv_tpu.io import reads_to_matrix
+    from reflexiv_tpu.mapping import end_extend_arrays
+
+    rng = random.Random(99)
+    genome = "".join(rng.choice("ACGT") for _ in range(5000))
+    contigs = []
+    for _ in range(150):
+        s = rng.randrange(len(genome) - 400)
+        c = genome[s:s + rng.randrange(100, 400)]
+        if rng.random() < 0.5:
+            c = oracle.revcomp(c)
+        contigs.append(c)
+    reads = []
+    for _ in range(3000):
+        s = rng.randrange(len(genome) - 90)
+        r = genome[s:s + 90]
+        if rng.random() < 0.5:
+            r = oracle.revcomp(r)
+        reads.append(r)
+    bases, lens = reads_to_matrix([r.encode() for r in reads])
+    got = end_extend_arrays(contigs, bases, lens)   # device (default)
+    monkeypatch.setenv("REFLEXIV_DEVICE_STAGES", "0")
+    want = end_extend_arrays(contigs, bases, lens)  # numpy batched
+    assert got == want
+    assert any(len(g) > len(c) for g, c in zip(got, contigs))

@@ -176,3 +176,31 @@ def test_patching_batched_matches_scalar():
         assert got == want
     joined, links = patch_contigs(contigs, pairs)
     assert len(links) >= 2  # the case actually exercises joins
+
+
+def test_device_mapping_matches_numpy(monkeypatch):
+    """The jitted strided-seed mapping (two-limb search on device) must
+    reproduce the numpy _map_reads_arrays exactly, end to end through
+    patch_contigs."""
+    rng = random.Random(29)
+    genome = "".join(rng.choice("ACGT") for _ in range(8000))
+    cuts = [0, 1500, 3200, 4700, 6300, 8000]
+    contigs = []
+    for i in range(len(cuts) - 1):
+        c = genome[max(0, cuts[i] - 15): cuts[i + 1]]
+        if i % 2:
+            c = oracle.revcomp(c)
+        contigs.append(c)
+    pairs = _pairs_from(genome, rng, n=1500, insert=280, rl=80)
+    for _ in range(50):  # junk pairs
+        pairs.append((
+            "".join(rng.choice("ACGT") for _ in range(80)),
+            "".join(rng.choice("ACGT") for _ in range(80)),
+        ))
+    from reflexiv_tpu.patching import patch_contigs
+
+    got = patch_contigs(contigs, pairs)          # device (default)
+    monkeypatch.setenv("REFLEXIV_DEVICE_STAGES", "0")
+    want = patch_contigs(contigs, pairs)         # numpy oracle
+    assert got == want
+    assert len(got[1]) >= 2

@@ -272,6 +272,36 @@ def test_error_correction_batched_matches_scalar():
     assert np.array_equal(got, want)
 
 
+def test_error_correction_device_matches_numpy_pass():
+    """The device-resident pass (jitted weak scan + substitution tests,
+    VERDICT r2 #2) must land byte-identical fixes vs the NumPy pass on a
+    larger error field, including ambiguous (multi-candidate) positions."""
+    import os
+
+    import numpy as np
+
+    from reflexiv_tpu.preprocess import correct_reads, correct_reads_device
+
+    rng = random.Random(43)
+    genome = "".join(rng.choice("ACGT") for _ in range(2000))
+    reads = _sim_reads(rng, genome, 80, 500, rc=True)
+    for i in range(0, len(reads), 4):
+        bad = list(reads[i])
+        p = rng.randrange(5, len(bad) - 5)
+        bad[p] = next(c for c in "ACGT" if c != bad[p])
+        reads[i] = "".join(bad)
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    got, n_got = correct_reads_device(mat, lens, k=21, min_cov=3)
+    os.environ["REFLEXIV_DEVICE_STAGES"] = "0"
+    try:
+        want, n_want = correct_reads(mat, lens, k=21, min_cov=3)
+    finally:
+        os.environ.pop("REFLEXIV_DEVICE_STAGES")
+    assert n_got >= 10
+    assert n_got == n_want
+    assert np.array_equal(got, want)
+
+
 def test_merge_pairs_python_fallback_matches_native():
     """The vectorized numpy fallback scorer must agree with the C++ one."""
     import numpy as np
