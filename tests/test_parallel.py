@@ -420,3 +420,69 @@ def test_dyn_parking_branch_fires_and_preserves_fixpoint(mesh, monkeypatch):
     assert lens[-1] == n_chain + k - 1
     assert lens.count(2 * k) == n_iso
     assert len(a) == n_iso + 1
+
+
+def test_sharded_mercy_table_matches_single(mesh):
+    """mercy_kmer_table_sharded must be set-equal to the single-chip table
+    (VERDICT r2 weak #4: -accurate previously abandoned the mesh)."""
+    import random
+
+    from reflexiv_tpu.mercy import mercy_kmer_table
+
+    rng = random.Random(31)
+    genome = "".join(rng.choice("ACGT") for _ in range(1500))
+    gap_lo, gap_hi = 700, 730
+    reads = []
+    for s in range(0, len(genome) - 100, 20):   # ~5x tiling
+        if s + 100 > gap_lo and s < gap_hi:
+            continue                            # starve the gap
+        reads.append(genome[s:s + 100])
+    for off in (0, 3, 6, 9):                    # solid right up to the edges
+        reads.append(genome[gap_lo - 100 - off: gap_lo - off])
+        reads.append(genome[gap_hi + off: gap_hi + off + 100])
+    # one read spans the gap with >= k solid bases on both sides within the
+    # read (mercy's flank rule is within-read)
+    reads.append(genome[gap_lo - 35: gap_hi + 35])
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    k = 21
+    single = mercy_kmer_table(mat, lens, k=k, min_cov=3)
+    sharded = parallel.mercy_kmer_table_sharded(
+        mat, lens, k=k, min_cov=3, mesh=mesh)
+
+    def table(L, c):
+        return {tuple(r): int(n) for r, n in zip(np.asarray(L),
+                                                 np.asarray(c))}
+
+    t_single, t_sharded = table(*single), table(*sharded)
+    assert t_sharded == t_single
+    # the case is non-trivial: some mercy (sub-min_cov) k-mers survived
+    assert any(v < 3 for v in t_single.values())
+
+
+@pytest.mark.slow
+def test_sharded_meta_accurate_rescues_gap(mesh):
+    """meta -accurate on the mesh: the sharded mercy branch must rescue the
+    single-read gap exactly like the single-chip sensitive path
+    (VERDICT r2 #5 done-criterion)."""
+    import random
+
+    from reflexiv_tpu.dynamic import assemble_dynamic
+    from reflexiv_tpu.params import Params
+
+    rng = random.Random(31)
+    genome = "".join(rng.choice("ACGT") for _ in range(6_000))
+    gap_lo, gap_hi = 3000, 3030
+    reads = []
+    for s in range(0, len(genome) - 100, 20):
+        if s + 100 > gap_lo and s < gap_hi:
+            continue
+        reads.append(genome[s:s + 100])
+    for off in (0, 3, 6, 9):
+        reads.append(genome[gap_lo - 100 - off: gap_lo - off])
+        reads.append(genome[gap_hi + off: gap_hi + off + 100])
+    reads.append(genome[2965:3065])
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    params = Params(klist=(21, 31), min_kmer_coverage=2, min_contig=400,
+                    sensitive=True)
+    rescued = assemble_dynamic(mat, lens, params, seed=0, mesh=mesh)
+    assert max((len(s) for _, s in rescued), default=0) >= 5_500

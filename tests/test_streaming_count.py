@@ -53,3 +53,55 @@ def test_count_kmers_auto_matches_single_pass(monkeypatch):
     want = {tuple(r): c for r, c in zip(want_l.tolist(), want_c.tolist())}
     got = {tuple(r): c for r, c in zip(got_l.tolist(), got_c.tolist())}
     assert want == got
+
+
+def test_iter_read_chunks_reproduces_load_reads():
+    """Chunked disk ingest yields the same reads (order preserved, modulo
+    quantization padding rows) as whole-matrix loading."""
+    import numpy as np
+
+    from reflexiv_tpu.io import iter_read_chunks, load_reads
+
+    pattern = "/root/reference/example/paired_dat*.fq.gz"
+    mat, lens = load_reads(pattern)
+    rows = []
+    n_chunks = 0
+    for cm, cl in iter_read_chunks(pattern, budget_bytes=64 << 10):
+        n_chunks += 1
+        assert cm.shape[0] & (cm.shape[0] - 1) == 0   # pow2 rows
+        assert cm.shape[1] % 32 == 0                   # width multiple of 32
+        for i in range(cm.shape[0]):
+            if cl[i] > 0:
+                rows.append(bytes(cm[i, :cl[i]]))
+    assert n_chunks > 1   # the budget actually chunked the input
+    want = [bytes(mat[i, :lens[i]]) for i in range(mat.shape[0])]
+    assert rows == want
+
+
+def test_count_from_files_matches_in_memory(tmp_path):
+    """Out-of-core counting (bounded chunks from disk) produces the exact
+    unique-kmer table of the in-memory pass."""
+    import random
+
+    import numpy as np
+
+    from reflexiv_tpu.count import count_kmers, count_kmers_from_files
+    from reflexiv_tpu.io import load_reads
+
+    rng = random.Random(7)
+    genome = "".join(rng.choice("ACGT") for _ in range(3000))
+    fq = tmp_path / "reads.fq"
+    with open(fq, "w") as fh:
+        for i in range(4000):
+            s = rng.randrange(len(genome) - 70)
+            fh.write(f"@r{i}\n{genome[s:s+70]}\n+\n{'I'*70}\n")
+    limbs_s, counts_s = count_kmers_from_files(
+        str(fq), k=31, min_cov=2, budget_bytes=32 << 10)
+    mat, lens = load_reads(str(fq))
+    limbs_m, counts_m = count_kmers(mat, lens, k=31, min_cov=2)
+
+    def table(L, c):
+        return {tuple(r): int(n) for r, n in zip(L, c)}
+
+    assert table(limbs_s, counts_s) == table(limbs_m, counts_m)
+    assert len(counts_s) > 100
