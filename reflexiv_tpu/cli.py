@@ -80,6 +80,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("-clipe", type=int, default=0, help="end clip")
     p.add_argument("-minlength", type=int, default=0,
                    help="drop reads shorter than this")
+    p.add_argument("-trustqual", type=int, default=0,
+                   help="preprocess: never correct bases with phred >= N "
+                        "(quality-aware correction; 0 = coverage-only)")
     # misc
     p.add_argument("-gzip", action="store_true", help="gzip outputs")
     p.add_argument("-accurate", action="store_true",
@@ -132,6 +135,7 @@ def params_from_args(args: argparse.Namespace) -> Params:
         end_clip=args.clipe,
         min_read_length=args.minlength,
         read_limit=args.reads,
+        trust_quality=args.trustqual,
         kmer_overlap=args.overlap,
         stitch_kmer=not args.stitch,
         input_fastq=fastq,

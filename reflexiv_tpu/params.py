@@ -52,6 +52,9 @@ class Params:
     read_limit: int = 0               # -reads (DefaultParam.java:72,
                                       # readLimit): stop after N input reads;
                                       # 0 = unlimited
+    trust_quality: int = 0            # -trustqual: phred floor above which
+                                      # a base is never error-corrected
+                                      # (lighter's quality signal; 0 = off)
     kmer_overlap: int = 0             # -overlap (DefaultParam.java:102;
                                       # parsed but unused by any reference
                                       # pipeline — kept for CLI parity, 0 =

@@ -131,6 +131,7 @@ def _window_solidity(mat, lens, k, limbs, counts):
 def _fix_pass(
     mat: np.ndarray, lens: np.ndarray, k: int,
     solid_sorted: np.ndarray, limbs, counts, *, chunk: int = 1 << 16,
+    quals: np.ndarray = None, trust_qual: int = 0,
 ):
     """One simultaneous correction pass: find every position covered by no
     solid window, test the 3 substitutions for all of them at once, apply
@@ -152,6 +153,10 @@ def _fix_pass(
         np.take_along_axis(csum, np.broadcast_to(w_lo, w_hi.shape), axis=1)
     weak = (covered == 0) & (p[None, :] < n[:, None]) & \
         (n[:, None] >= k + 1) & (w_hi > w_lo)
+    if quals is not None and trust_qual > 0:
+        # lighter-style trust gate: a high-quality base is never substituted
+        # even when no solid window covers it
+        weak = weak & (quals < trust_qual)
     ii, pp = np.nonzero(weak)
     if not len(ii):
         return 0, np.zeros(0, np.int64)
@@ -284,6 +289,7 @@ def _device_fns():
 
 def _fix_pass_device(
     dmat, lens_j, k, limbs_j, counts_j, *, chunk: int = 1 << 16,
+    quals: np.ndarray = None, trust_qual: int = 0,
 ):
     """One correction pass with the heavy work on the accelerator.
 
@@ -297,6 +303,8 @@ def _fix_pass_device(
 
     fns = _device_fns()
     weak = np.asarray(fns["weak_mask"](dmat, lens_j, limbs_j, counts_j, k=k))
+    if quals is not None and trust_qual > 0:
+        weak = weak & (quals < trust_qual)
     ii, pp = np.nonzero(weak)
     if not len(ii):
         return 0, np.zeros(0, np.int64), dmat
@@ -328,7 +336,7 @@ def _fix_pass_device(
 
 def correct_reads_device(
     mat: np.ndarray, lens: np.ndarray, *, k: int = 23, min_cov: int = 2,
-    max_rounds: int = 4,
+    max_rounds: int = 4, quals: np.ndarray = None, trust_qual: int = 0,
 ) -> Tuple[np.ndarray, int]:
     """Accelerator-resident :func:`correct_reads`: identical fixes, with the
     weak-position scan and substitution tests as jitted array programs over
@@ -347,7 +355,8 @@ def correct_reads_device(
     n_fixed = 0
     for _ in range(max_rounds):
         got, _rows, dmat = _fix_pass_device(
-            dmat, lens_j, k, limbs_j, counts_j)
+            dmat, lens_j, k, limbs_j, counts_j,
+            quals=quals, trust_qual=trust_qual)
         n_fixed += got
         if got == 0:
             break
@@ -356,7 +365,7 @@ def correct_reads_device(
 
 def correct_reads(
     mat: np.ndarray, lens: np.ndarray, *, k: int = 23, min_cov: int = 2,
-    max_rounds: int = 4,
+    max_rounds: int = 4, quals: np.ndarray = None, trust_qual: int = 0,
 ) -> Tuple[np.ndarray, int]:
     """K-mer-spectrum single-base error correction (lighter-equivalent).
 
@@ -377,14 +386,16 @@ def correct_reads(
     """
     if os.environ.get("REFLEXIV_DEVICE_STAGES", "1") != "0":
         return correct_reads_device(
-            mat, lens, k=k, min_cov=min_cov, max_rounds=max_rounds)
+            mat, lens, k=k, min_cov=min_cov, max_rounds=max_rounds,
+            quals=quals, trust_qual=trust_qual)
     solid_sorted, limbs, counts = _solid_table(mat, lens, k, min_cov)
     mat = mat.copy()
     n_fixed = 0
     rows = None      # None = whole matrix (first round)
     for _ in range(max_rounds):
         if rows is None:
-            got, rows = _fix_pass(mat, lens, k, solid_sorted, limbs, counts)
+            got, rows = _fix_pass(mat, lens, k, solid_sorted, limbs, counts,
+                                  quals=quals, trust_qual=trust_qual)
         else:
             # corrections only change their own read's windows, so later
             # rounds need only revisit rows fixed in the previous one
@@ -392,7 +403,9 @@ def correct_reads(
                 break
             sub = np.ascontiguousarray(mat[rows])
             got, sub_rows = _fix_pass(
-                sub, lens[rows], k, solid_sorted, limbs, counts)
+                sub, lens[rows], k, solid_sorted, limbs, counts,
+                quals=quals[rows] if quals is not None else None,
+                trust_qual=trust_qual)
             mat[rows] = sub
             rows = rows[sub_rows]
         n_fixed += got
@@ -506,8 +519,25 @@ def preprocess(params: Params) -> None:
         ]
 
     mat, lens = reads_to_matrix([CODE_TO_BASE[r].tobytes() for r in reads])
+    quals = None
+    if params.trust_quality > 0 and pair_lists is None:
+        # quality-aware correction (-trustqual N; lighter's core signal,
+        # ErrorCorrectionLighterPipe): reload the quality column aligned
+        # with the unpaired read order. Pair-merged reads have composite
+        # quality profiles and stay coverage-only.
+        from .io import load_reads_with_quals
+
+        qmat, qlens, qq = load_reads_with_quals(
+            params.input_fastq or params.input_fasta)
+        if qmat.shape == mat.shape and np.array_equal(qlens, lens):
+            quals = qq
+        else:
+            log.warning("quality column misaligned; coverage-only "
+                        "correction")
     corrected, n_fixed = correct_reads(
-        mat, lens, k=min(23, params.k), min_cov=max(2, params.min_kmer_coverage)
+        mat, lens, k=min(23, params.k),
+        min_cov=max(2, params.min_kmer_coverage),
+        quals=quals, trust_qual=params.trust_quality,
     )
     log.info("error correction: %d bases fixed", n_fixed)
     rdir = os.path.join(out, "Read_Repartitioned")

@@ -1,4 +1,5 @@
 """Tests for reassembler, merger, mercy, preprocess, stitch."""
+import os
 import random
 
 import numpy as np
@@ -422,3 +423,49 @@ def test_bz2_fastq_input(tmp_path):
             fh.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
     mat, lens = load_reads(str(path))
     assert len(lens) == 40 and (np.asarray(lens) == 60).all()
+
+
+def test_quality_gate_flips_correction_outcome():
+    """-trustqual (lighter's quality signal): a planted error at a
+    HIGH-quality position must survive quality-aware correction while the
+    same error at LOW quality (and under coverage-only correction) is
+    fixed."""
+    import numpy as np
+
+    from reflexiv_tpu.preprocess import correct_reads
+
+    rng = random.Random(47)
+    genome = "".join(rng.choice("ACGT") for _ in range(600))
+    reads = _sim_reads(rng, genome, 90, 150, rc=False)
+    bad_rows = [0, 10]
+    p = 40
+    for i in bad_rows:
+        bad = list(reads[i])
+        bad[p] = next(c for c in "ACGT" if c != bad[p])
+        reads[i] = "".join(bad)
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    # phred 40 everywhere except the planted error in read 10 (phred 5)
+    quals = np.full(mat.shape, 40, np.uint8)
+    quals[bad_rows[1], p] = 5
+
+    cov_only, n_cov = correct_reads(mat, lens, k=21, min_cov=3)
+    qual_aware, n_q = correct_reads(
+        mat, lens, k=21, min_cov=3, quals=quals, trust_qual=30)
+    # coverage-only fixes both planted errors
+    assert n_cov >= 2
+    assert cov_only[bad_rows[0], p] != mat[bad_rows[0], p]
+    assert cov_only[bad_rows[1], p] != mat[bad_rows[1], p]
+    # quality-aware trusts the phred-40 base (left untouched) but still
+    # fixes the phred-5 one — the disagreement flips the outcome
+    assert qual_aware[bad_rows[0], p] == mat[bad_rows[0], p]
+    assert qual_aware[bad_rows[1], p] != mat[bad_rows[1], p]
+    assert n_q < n_cov
+    # numpy oracle behaves identically under the gate
+    os.environ["REFLEXIV_DEVICE_STAGES"] = "0"
+    try:
+        oracle_out, n_o = correct_reads(
+            mat, lens, k=21, min_cov=3, quals=quals, trust_qual=30)
+    finally:
+        os.environ.pop("REFLEXIV_DEVICE_STAGES")
+    assert np.array_equal(oracle_out, qual_aware)
+    assert n_o == n_q
