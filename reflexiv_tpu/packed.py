@@ -316,8 +316,17 @@ def finished_mask_packed(p: PackedRecords, k: int) -> jnp.ndarray:
     return p.live & ~partnered[:N] & ~partnered[N:]
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
 def extension_round_packed(p: PackedRecords, round_seed: jnp.ndarray, *, k: int):
+    import os as _os
+
+    return _extension_round_packed(
+        p, round_seed, k=k,
+        variadic=_os.environ.get("REFLEXIV_VARIADIC_EXTSORT", "1") != "0")
+
+
+@functools.partial(jax.jit, static_argnames=("k", "variadic"))
+def _extension_round_packed(p: PackedRecords, round_seed: jnp.ndarray, *,
+                            k: int, variadic: bool):
     """One packed sort -> join round + loop stats.
 
     Same algorithm as ``extend.extension_round_fused`` (see there for the
@@ -329,16 +338,34 @@ def extension_round_packed(p: PackedRecords, round_seed: jnp.ndarray, *, k: int)
     keys = derive_keys_packed(p, marker, k)
     Wp = keys.shape[1]
 
-    order = jnp.lexsort(
-        (marker,) + tuple(keys[:, i] for i in range(Wp - 1, -1, -1))
-    )
-    skey = keys[order]
-    smarker = marker[order]
-    sseq = p.seq[order]
-    slen = p.length[order]
-    sleft = p.left[order]
-    sright = p.right[order]
-    slive = p.live[order]
+    if variadic:
+        # one variadic stable sort carries every record column through the
+        # comparison network directly — the lexsort+gather form below pays
+        # ~6 row-gathers that run at ~0.5 GB/s on TPU (the measured XLA
+        # random-gather floor, scripts/tpu_gather_probe.py), which
+        # dominated the round at 1M records. Both forms are stable on
+        # (keys, marker), so their outputs are bit-identical.
+        ops = jax.lax.sort(
+            tuple(keys[:, i] for i in range(Wp)) + (marker,)
+            + tuple(p.seq[:, i] for i in range(LW))
+            + (p.length, p.left, p.right, p.live),
+            num_keys=Wp + 1,
+        )
+        skey = jnp.stack(ops[:Wp], axis=-1)
+        smarker = ops[Wp]
+        sseq = jnp.stack(ops[Wp + 1: Wp + 1 + LW], axis=-1)
+        slen, sleft, sright, slive = ops[Wp + 1 + LW:]
+    else:
+        order = jnp.lexsort(
+            (marker,) + tuple(keys[:, i] for i in range(Wp - 1, -1, -1))
+        )
+        skey = keys[order]
+        smarker = marker[order]
+        sseq = p.seq[order]
+        slen = p.length[order]
+        sleft = p.left[order]
+        sright = p.right[order]
+        slive = p.live[order]
 
     prev = jnp.roll(skey, 1, axis=0)
     is_start = jnp.any(skey != prev, axis=1)

@@ -117,9 +117,6 @@ def draw_markers_pdyn(p: PackedDynRecords, round_seed) -> jnp.ndarray:
     return jnp.where(p.live, 1 + (h & 1).astype(jnp.int32), 0)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("kmin", "max_sub", "unique_only")
-)
 def pdyn_extension_round_with_markers(
     p: PackedDynRecords,
     marker: jnp.ndarray,
@@ -127,6 +124,25 @@ def pdyn_extension_round_with_markers(
     kmin: int,
     max_sub: int,
     unique_only: bool = False,
+) -> PackedDynRecords:
+    import os as _os
+
+    return _pdyn_round_impl(
+        p, marker, kmin=kmin, max_sub=max_sub, unique_only=unique_only,
+        variadic=_os.environ.get("REFLEXIV_VARIADIC_EXTSORT", "1") != "0")
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kmin", "max_sub", "unique_only", "variadic")
+)
+def _pdyn_round_impl(
+    p: PackedDynRecords,
+    marker: jnp.ndarray,
+    *,
+    kmin: int,
+    max_sub: int,
+    unique_only: bool = False,
+    variadic: bool = True,
 ) -> PackedDynRecords:
     """One mixed-k sort -> join round in limb space.
 
@@ -140,20 +156,34 @@ def pdyn_extension_round_with_markers(
     keys = extract_window(p.seq, jnp.maximum(key_start, 0), gw)
     keys = jnp.where(p.live[:, None], keys, jnp.uint32(0xFFFFFFFF))
     Wp = keys.shape[1]
-    order = jnp.lexsort(tuple(keys[:, i] for i in range(Wp - 1, -1, -1)))
-    skey = keys[order]
+    if variadic:
+        # variadic stable sort moves every column directly; the
+        # lexsort+gather form pays ~7 row-gathers at the TPU's ~0.5 GB/s
+        # XLA gather floor (see packed.extension_round_packed)
+        ops = jax.lax.sort(
+            tuple(keys[:, i] for i in range(Wp))
+            + tuple(p.seq[:, i] for i in range(LW))
+            + (p.length, p.subk, p.left, p.right, p.live, marker),
+            num_keys=Wp,
+        )
+        skey = jnp.stack(ops[:Wp], axis=-1)
+        sseq = jnp.stack(ops[Wp: Wp + LW], axis=-1)
+        slen, ssub, sleft, sright, slive, smarker = ops[Wp + LW:]
+    else:
+        order = jnp.lexsort(
+            tuple(keys[:, i] for i in range(Wp - 1, -1, -1)))
+        skey = keys[order]
+        sseq = p.seq[order]
+        slen = p.length[order]
+        ssub = p.subk[order]
+        sleft = p.left[order]
+        sright = p.right[order]
+        slive = p.live[order]
+        smarker = marker[order]
     prev = jnp.roll(skey, 1, axis=0)
     is_start = jnp.any(skey != prev, axis=1)
     is_start = is_start.at[0].set(True)
     seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
-
-    sseq = p.seq[order]
-    slen = p.length[order]
-    ssub = p.subk[order]
-    sleft = p.left[order]
-    sright = p.right[order]
-    slive = p.live[order]
-    smarker = marker[order]
 
     idx = jnp.arange(N, dtype=jnp.int32)
     fwd_first = first_per_segment(seg, slive & (smarker == 1), N)

@@ -45,24 +45,32 @@ def main():
     )
     p = pk.from_records(recs)
 
-    def run(p, s):
-        out, live, need = pk.extension_round_packed(p, jnp.uint32(s), k=k)
-        np.asarray(out.length[:8])
-        return out
-
-    p1 = run(p, 1)  # compile
-    t0 = time.time()
     iters = 5
-    for s in range(2, 2 + iters):
-        run(p, s)
-    dt = (time.time() - t0) / iters
-    result = {
-        "platform": jax.devices()[0].platform,
-        "records": N,
-        "records_per_sec": N / dt,
-        "seconds_per_round": dt,
-        "merged_first_round": int(N - jnp.sum(p1.live)),
-    }
+    result = {"platform": jax.devices()[0].platform, "records": N}
+    p1 = None
+    for variadic in (False, True):
+        def run(p, s):
+            return pk._extension_round_packed(
+                p, jnp.uint32(s), k=k, variadic=variadic)
+
+        out = run(p, 1)
+        np.asarray(out[0].length[:8])  # compile + warm (one host fetch)
+        if p1 is None:
+            p1 = out[0]
+        t0 = time.time()
+        last = None
+        for s in range(2, 2 + iters):
+            last = run(p, s)
+        np.asarray(last[0].length[:8])  # one fetch bounds the train
+        dt = (time.time() - t0) / iters
+        tag = "variadic" if variadic else "lexsort_gather"
+        result[f"seconds_per_round_{tag}"] = dt
+        result[f"records_per_sec_{tag}"] = N / dt
+        print(json.dumps({"form": tag, "seconds_per_round": dt,
+                          "records_per_sec": round(N / dt)}), flush=True)
+    result["merged_first_round"] = int(N - jnp.sum(p1.live))
+    result["records_per_sec"] = result["records_per_sec_variadic"]
+    result["seconds_per_round"] = result["seconds_per_round_variadic"]
     print(json.dumps(result), flush=True)
 
     # mixed-k (meta) round at the same scale: records of k classes 23/31/41
@@ -82,19 +90,26 @@ def main():
         jnp.ones(N, bool),
     ))
 
-    def run_dyn(s):
-        out, live, need = pd.pdyn_extension_round_fused(
-            dpool, jnp.uint32(s), kmin=23, max_sub=40)
-        np.asarray(out.length[:8])
-        return out
+    for variadic in (False, True):
+        def run_dyn(s):
+            marker = pd.draw_markers_pdyn(dpool, jnp.uint32(s))
+            return pd._pdyn_round_impl(
+                dpool, marker, kmin=23, max_sub=40, variadic=variadic)
 
-    run_dyn(1)
-    t0 = time.time()
-    for s in range(2, 2 + iters):
-        run_dyn(s)
-    dtd = (time.time() - t0) / iters
-    result["dyn_seconds_per_round"] = dtd
-    result["dyn_records_per_sec"] = N / dtd
+        np.asarray(run_dyn(1).length[:8])
+        t0 = time.time()
+        last = None
+        for s in range(2, 2 + iters):
+            last = run_dyn(s)
+        np.asarray(last.length[:8])
+        dtd = (time.time() - t0) / iters
+        tag = "variadic" if variadic else "lexsort_gather"
+        result[f"dyn_seconds_per_round_{tag}"] = dtd
+        result[f"dyn_records_per_sec_{tag}"] = N / dtd
+        print(json.dumps({"form": f"dyn_{tag}", "seconds_per_round": dtd,
+                          "records_per_sec": round(N / dtd)}), flush=True)
+    result["dyn_seconds_per_round"] = result["dyn_seconds_per_round_variadic"]
+    result["dyn_records_per_sec"] = result["dyn_records_per_sec_variadic"]
 
     # exact interval census cost at this scale
     def run_census():
