@@ -154,7 +154,8 @@ def sort_count_filter(
         lo = jnp.where(valid, limbs[:, 1], sentinel)
         interpret = jax.devices()[0].platform != "tpu"
         shi, slo = sort_kernels.sort_pairs_padded(
-            hi, lo, interpret=interpret)
+            hi, lo, interpret=interpret,
+            static_stages=sort_kernels.default_static_stages())
         svalid = shi != sentinel
         Np = shi.shape[0]
         row_count, keep = _runlength_keep(

@@ -88,8 +88,12 @@ def _stage_body(st_hi, st_lo, f, j, asc, partner_fn):
     ph = jnp.where(bit_s, bh, fh)
     plo = jnp.where(bit_s, bl, fl)
     lt = (hi < ph) | ((hi == ph) & (lo < plo))
-    keep_min = bit_s == (~asc)  # low side (bit clear) keeps min iff ascending
-    keep_self = jnp.where(keep_min, lt, ~lt)
+    # low side (bit clear) keeps min iff ascending: keep_min = bit_s != asc;
+    # keep self iff keep_min == lt. Pure &|^~ forms only — a jnp.where over
+    # two i1 vectors lowers through an i8 -> i1 truncation Mosaic rejects
+    # ("Unsupported target bitwidth"), and i1 cmpi is the same risk class.
+    keep_min = bit_s ^ asc
+    keep_self = ~(keep_min ^ lt)
     st_hi[:] = jnp.where(keep_self, hi, ph)
     st_lo[:] = jnp.where(keep_self, lo, plo)
 
@@ -112,6 +116,52 @@ def _run_stages(st_hi, st_lo, f, k_, asc):
         return 0
 
     jax.lax.fori_loop(0, lane_hi + 1, lane_body, 0)
+
+
+def _run_stages_static(st_hi, st_lo, f, k_, asc):
+    """Statically unrolled stages of one bitonic round (fallback for the
+    case where Mosaic rejects dynamic-shift rolls): at most 16 small
+    stages per kernel, so the program stays well under the remote-compile
+    service's size ceiling."""
+    for j in range(k_, -1, -1):
+        _stage_body(st_hi, st_lo, f, j, asc,
+                    _row_partner if j >= 7 else _lane_partner)
+
+
+def _round_kernel_factory(k_: int):
+    """One bitonic round (stages 2^k_..1, static strides) over one block;
+    round LOGB-1 takes its direction from block parity (the global index's
+    bit LOGB)."""
+
+    def kernel(hi_ref, lo_ref, ohi_ref, olo_ref, st_hi, st_lo):
+        f = _flat_iota()
+        st_hi[:] = hi_ref[:]
+        st_lo[:] = lo_ref[:]
+        if k_ + 1 < LOGB:
+            asc = ((f >> (k_ + 1)) & 1) == 0
+        else:
+            blk = pl.program_id(0)
+            asc = jnp.full((ROWS, LANES), (blk & 1) == 0, dtype=bool)
+        _run_stages_static(st_hi, st_lo, f, k_, asc)
+        ohi_ref[:] = st_hi[:]
+        olo_ref[:] = st_lo[:]
+
+    return kernel
+
+
+def _merge_block_kernel_static_factory(k1shift: int):
+    def kernel(hi_ref, lo_ref, ohi_ref, olo_ref, st_hi, st_lo):
+        f = _flat_iota()
+        blk = pl.program_id(0)
+        asc_flag = (((blk << LOGB) >> k1shift) & 1) == 0
+        asc = jnp.full((ROWS, LANES), asc_flag, dtype=bool)
+        st_hi[:] = hi_ref[:]
+        st_lo[:] = lo_ref[:]
+        _run_stages_static(st_hi, st_lo, f, LOGB - 1, asc)
+        ohi_ref[:] = st_hi[:]
+        olo_ref[:] = st_lo[:]
+
+    return kernel
 
 
 def _local_sort_kernel(hi_ref, lo_ref, ohi_ref, olo_ref, st_hi, st_lo):
@@ -190,6 +240,39 @@ def _local_sort(hi, lo, nb, interpret):
     return out[0], out[1]
 
 
+def _local_sort_static(hi, lo, nb, interpret):
+    """Static-stride local sort: one pallas_call per round (LOGB HBM round
+    trips instead of one — ~2 GB extra traffic at 2^24, a few ms — but no
+    dynamic-shift rolls)."""
+    for k_ in range(LOGB):
+        out = pl.pallas_call(
+            _squeeze_kernel(_round_kernel_factory(k_)),
+            grid=(nb,),
+            out_shape=[
+                jax.ShapeDtypeStruct((nb, ROWS, LANES), jnp.uint32),
+                jax.ShapeDtypeStruct((nb, ROWS, LANES), jnp.uint32),
+            ],
+            interpret=interpret,
+            **_block_specs(),
+        )(hi, lo)
+        hi, lo = out[0], out[1]
+    return hi, lo
+
+
+def _merge_blocks_static(hi, lo, nb, k1shift, interpret):
+    out = pl.pallas_call(
+        _squeeze_kernel(_merge_block_kernel_static_factory(k1shift)),
+        grid=(nb,),
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, ROWS, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((nb, ROWS, LANES), jnp.uint32),
+        ],
+        interpret=interpret,
+        **_block_specs(),
+    )(hi, lo)
+    return out[0], out[1]
+
+
 def _merge_blocks(hi, lo, nb, k1shift, interpret):
     out = pl.pallas_call(
         _squeeze_kernel(_merge_block_kernel_factory(k1shift)),
@@ -224,12 +307,15 @@ def _cross_stage(hi, lo, m, k1shift):
     return jnp.where(keep_self, hi, ph), jnp.where(keep_self, lo, plo)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def sort_pairs(hi: jnp.ndarray, lo: jnp.ndarray, *, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "static_stages"))
+def sort_pairs(hi: jnp.ndarray, lo: jnp.ndarray, *, interpret: bool = False,
+               static_stages: bool = False):
     """Sort N = len(hi) two-limb keys ascending (lexicographic (hi, lo)).
 
     N must be a power of two and a multiple of BLOCK; pad with the all-ones
     sentinel first (sentinels sort to the tail). Returns sorted (hi, lo).
+    ``static_stages`` selects the per-round static-stride kernels (more HBM
+    round trips, no dynamic-shift rolls).
     """
     N = hi.shape[0]
     if N % BLOCK != 0 or N & (N - 1):
@@ -238,15 +324,26 @@ def sort_pairs(hi: jnp.ndarray, lo: jnp.ndarray, *, interpret: bool = False):
     logn = N.bit_length() - 1
     hi = hi.reshape(nb, ROWS, LANES)
     lo = lo.reshape(nb, ROWS, LANES)
-    hi, lo = _local_sort(hi, lo, nb, interpret)
+    local = _local_sort_static if static_stages else _local_sort
+    merge = _merge_blocks_static if static_stages else _merge_blocks
+    hi, lo = local(hi, lo, nb, interpret)
     for k_ in range(LOGB, logn):
         for j in range(k_, LOGB - 1, -1):
             hi, lo = _cross_stage(hi, lo, 1 << (j - LOGB), k_ + 1)
-        hi, lo = _merge_blocks(hi, lo, nb, k_ + 1, interpret)
+        hi, lo = merge(hi, lo, nb, k_ + 1, interpret)
     return hi.reshape(N), lo.reshape(N)
 
 
 SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+
+def default_static_stages() -> bool:
+    """Whether callers should use the static-stride kernels by default
+    (REFLEXIV_PALLAS_SORT_STATIC=1) — set when the dynamic-roll kernels
+    fail to compile on the target's Mosaic version."""
+    import os
+
+    return os.environ.get("REFLEXIV_PALLAS_SORT_STATIC", "0") != "0"
 
 
 def padded_size(n: int) -> int:
@@ -258,7 +355,7 @@ def padded_size(n: int) -> int:
 
 
 def sort_pairs_padded(hi: jnp.ndarray, lo: jnp.ndarray, *,
-                      interpret: bool = False):
+                      interpret: bool = False, static_stages: bool = False):
     """Sentinel-pad to a power-of-two multiple of BLOCK and sort.
 
     Returns PADDED sorted limbs (length ``padded_size(N)``); the all-ones
@@ -271,4 +368,5 @@ def sort_pairs_padded(hi: jnp.ndarray, lo: jnp.ndarray, *,
         pad = cap - N
         hi = jnp.concatenate([hi, jnp.full(pad, SENTINEL, jnp.uint32)])
         lo = jnp.concatenate([lo, jnp.full(pad, SENTINEL, jnp.uint32)])
-    return sort_pairs(hi, lo, interpret=interpret)
+    return sort_pairs(hi, lo, interpret=interpret,
+                      static_stages=static_stages)

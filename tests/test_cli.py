@@ -174,12 +174,13 @@ def test_reads_limit_and_parity_flags_parse(tmp_path):
         infmt="gzip", reads=4, kmer=21, klist="21,31", overlap=20,
         cover=1, maxcov=100, error=None, mincontig=300, maxiter=10,
         miniter=2, bubble=True, stitch=True, clipf=0, clipe=0,
-        minlength=0, gzip=False, accurate=False, partition=2,
+        minlength=0, trustqual=25, gzip=False, accurate=False, partition=2,
         partitionredu=8, cache=True, mode="fast", sbin=None, seed=0,
         patch=False, scaffold=True,
     )
     p = params_from_args(ns)
     assert p.read_limit == 4 and p.kmer_overlap == 20
+    assert p.trust_quality == 25
     assert p.stitch_kmer is False and p.cache is True
     assert p.input_contig == "c.fa" and p.shuffle_partitions == 8
     assert p.input_format == "gzip" and p.mode == "fast"

@@ -77,3 +77,15 @@ def test_sort_count_filter_pallas_matches_xla():
         return {tuple(r): int(n) for r, n in zip(l[k], c[k])}
 
     assert table(pal_l, pal_c, pal_k) == table(ref_l, ref_c, ref_k)
+
+
+def test_sort_pairs_static_stages_parity():
+    """The static-stride fallback kernels (per-round pallas_call, no
+    dynamic rolls) must sort identically."""
+    rng = np.random.default_rng(5)
+    N = 2 * BLOCK
+    hi = rng.integers(0, 2**30, N, dtype=np.uint32)
+    lo = rng.integers(0, 2**32, N, dtype=np.uint32)
+    sh, sl = sort_pairs(jnp.asarray(hi), jnp.asarray(lo), interpret=True,
+                        static_stages=True)
+    assert np.array_equal(_key64(sh, sl), np.sort(_key64(hi, lo)))
