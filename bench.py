@@ -85,12 +85,17 @@ def bench_counting(tile: int = 64, iters: int = 3):
         and pallas_kernels.supports(k)
     )
 
+    from reflexiv_tpu.count import pallas_sort_wanted
+
+    pallas_sort = pallas_sort_wanted(k)
+
     def run():
         if use_pallas:
             limbs, valid = pallas_kernels.extract_canonical_kmers_pallas(
                 bases, lengths, k=k)
             return sort_count_filter(
-                limbs, valid, min_cov=3, max_cov=10_000_000)
+                limbs, valid, min_cov=3, max_cov=10_000_000,
+                pallas_sort=pallas_sort)
         return count_pass_fused(
             bases, lengths, k=k, min_cov=3, max_cov=10_000_000)
 
@@ -112,6 +117,8 @@ def bench_counting(tile: int = 64, iters: int = 3):
         "seconds_per_pass": dt,
         "device": str(dev),
         "platform": dev.platform,
+        "pallas_extract": use_pallas,
+        "pallas_sort": pallas_sort,
     }
 
 

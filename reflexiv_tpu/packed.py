@@ -319,14 +319,22 @@ def finished_mask_packed(p: PackedRecords, k: int) -> jnp.ndarray:
 def extension_round_packed(p: PackedRecords, round_seed: jnp.ndarray, *, k: int):
     import os as _os
 
+    variadic = _os.environ.get("REFLEXIV_VARIADIC_EXTSORT", "1") != "0"
+    # partner_fill defaults ON only on TPU: the associative_scan fills
+    # compile pathologically slowly in XLA:CPU (minutes at 2^20 rows),
+    # and the gathers they replace are only slow on the TPU anyway
+    fill_default = "1" if jax.devices()[0].platform == "tpu" else "0"
     return _extension_round_packed(
-        p, round_seed, k=k,
-        variadic=_os.environ.get("REFLEXIV_VARIADIC_EXTSORT", "1") != "0")
+        p, round_seed, k=k, variadic=variadic,
+        partner_fill=variadic
+        and _os.environ.get("REFLEXIV_PARTNER_FILL", fill_default) != "0")
 
 
-@functools.partial(jax.jit, static_argnames=("k", "variadic"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "variadic", "partner_fill"))
 def _extension_round_packed(p: PackedRecords, round_seed: jnp.ndarray, *,
-                            k: int, variadic: bool):
+                            k: int, variadic: bool,
+                            partner_fill: bool = False):
     """One packed sort -> join round + loop stats.
 
     Same algorithm as ``extend.extension_round_fused`` (see there for the
@@ -372,17 +380,41 @@ def _extension_round_packed(p: PackedRecords, round_seed: jnp.ndarray, *,
     is_start = is_start.at[0].set(True)
     seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
 
-    from .join_core import first_per_segment, merge_gate
+    from .join_core import first_per_segment, merge_gate, segmented_fill
 
-    idx = jnp.arange(N, dtype=jnp.int32)
-    fwd_idx = first_per_segment(seg, slive & (smarker == 1), N)
-    refl_idx = first_per_segment(seg, slive & (smarker == 2), N)
-    has_pair = (fwd_idx < N) & (refl_idx < N)
-
-    f = jnp.minimum(fwd_idx, N - 1)
-    r = jnp.minimum(refl_idx, N - 1)
-    f_left, f_right, f_len = sleft[f], sright[f], slen[f]
-    r_left, r_right, r_len = sleft[r], sright[r], slen[r]
+    if partner_fill:
+        # marker is a sort key, so within a live segment the (single) fwd
+        # row is the segment start and the first refl row follows it.
+        # Broadcast their fields with log-depth segmented fills instead of
+        # first_per_segment (scatter-min) + 6 row-gathers — all of which
+        # run at the ~0.5 GB/s XLA gather floor on TPU. Outputs are
+        # bit-identical to the index form.
+        fstart = is_start & (smarker == 1) & slive
+        prev_m = jnp.roll(smarker, 1).at[0].set(0)
+        rstart = slive & (smarker == 2) & (is_start | (prev_m != 2))
+        fvalid, (f_left, f_right, f_len, *f_seq_cols) = segmented_fill(
+            fstart, seg,
+            (sleft, sright, slen) + tuple(
+                sseq[:, i] for i in range(LW)))
+        rvalid, (r_left, r_right, r_len, *r_seq_cols) = segmented_fill(
+            rstart, seg,
+            (sleft, sright, slen) + tuple(
+                sseq[:, i] for i in range(LW)),
+            reverse=True)
+        has_pair = fvalid & rvalid
+        f_seq = jnp.stack(f_seq_cols, axis=-1)
+        r_seq = jnp.stack(r_seq_cols, axis=-1)
+    else:
+        idx = jnp.arange(N, dtype=jnp.int32)
+        fwd_idx = first_per_segment(seg, slive & (smarker == 1), N)
+        refl_idx = first_per_segment(seg, slive & (smarker == 2), N)
+        has_pair = (fwd_idx < N) & (refl_idx < N)
+        f = jnp.minimum(fwd_idx, N - 1)
+        r = jnp.minimum(refl_idx, N - 1)
+        f_left, f_right, f_len = sleft[f], sright[f], slen[f]
+        r_left, r_right, r_len = sleft[r], sright[r], slen[r]
+        f_seq = sseq[f]
+        r_seq = sseq[r]
 
     gate = merge_gate(
         f_left, f_right, r_left, r_right, f_len - sub, r_len - sub
@@ -391,12 +423,16 @@ def _extension_round_packed(p: PackedRecords, round_seed: jnp.ndarray, *,
     new_left, new_right = gate.new_left, gate.new_right
 
     merged_seq, new_len = concat(
-        sseq[r], r_len, sseq[f], f_len,
+        r_seq, r_len, f_seq, f_len,
         jnp.full(N, sub, jnp.int32), LW,
     )
 
-    i_am_fwd = merge & (idx == fwd_idx)
-    i_am_refl = merge & (idx == refl_idx)
+    if partner_fill:
+        i_am_fwd = merge & fstart
+        i_am_refl = merge & rstart
+    else:
+        i_am_fwd = merge & (idx == fwd_idx)
+        i_am_refl = merge & (idx == refl_idx)
 
     out_seq = jnp.where(i_am_fwd[:, None], merged_seq, sseq)
     out_len = jnp.where(i_am_fwd, new_len, slen)
