@@ -94,13 +94,35 @@ def to_records(p: PackedRecords) -> Records:
     )
 
 
+_SELECT_GATHER_MAX_LW = 64
+
+
+def _limb_lookup(seq: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """``take_along_axis(seq, clip(q), 1)`` with out-of-range -> 0, built
+    from a column-select chain when the limb count is small.
+
+    XLA lowers take_along_axis to a gather that runs ~1600x below HBM
+    bandwidth on TPU (scripts/tpu_gather_probe.py); a chain of LW
+    compare+selects is pure VPU work and beats it for the limb counts the
+    extension rounds use. Falls back to the gather for very wide rows.
+    """
+    N, LW = seq.shape
+    if LW > _SELECT_GATHER_MAX_LW:
+        a = jnp.take_along_axis(seq, jnp.clip(q, 0, LW - 1), axis=1)
+        return jnp.where((q >= 0) & (q < LW), a, 0)
+    out = jnp.zeros(q.shape, dtype=seq.dtype)
+    for c in range(LW):
+        out = jnp.where(q == c, seq[:, c: c + 1], out)
+    return out
+
+
 def extract_window(
     seq: jnp.ndarray, start: jnp.ndarray, width: int
 ) -> jnp.ndarray:
     """Left-aligned packed window of ``width`` bases from per-row ``start``.
 
     Returns (N, limbs_for(width)) uint32; bits beyond ``2*width`` zeroed.
-    One funnel shift over two gathered limbs per output limb.
+    One funnel shift over two looked-up limbs per output limb.
     """
     N, LW = seq.shape
     OW = limbs_for(width)
@@ -108,10 +130,8 @@ def extract_window(
     off2 = (2 * (start % BASES_PER_LIMB)).astype(jnp.uint32)
     m = jnp.arange(OW, dtype=jnp.int32)[None, :]
     qa = q[:, None] + m
-    a = jnp.take_along_axis(seq, jnp.clip(qa, 0, LW - 1), axis=1)
-    a = jnp.where(qa < LW, a, 0)
-    b = jnp.take_along_axis(seq, jnp.clip(qa + 1, 0, LW - 1), axis=1)
-    b = jnp.where(qa + 1 < LW, b, 0)
+    a = _limb_lookup(seq, qa)
+    b = _limb_lookup(seq, qa + 1)
     o = off2[:, None]
     limb = jnp.where(o > 0, (a << o) | (b >> (32 - o)), a)
     # mask the final partial limb to `width` bases
@@ -164,22 +184,21 @@ def concat(
 
 def _window_rows(seq: jnp.ndarray, base0: jnp.ndarray) -> jnp.ndarray:
     """16-base windows at static-per-column starts (base0 multiples of 16):
-    just a bounds-checked gather."""
+    a bounds-checked limb lookup. ``base0`` is (1, OW)-shaped and static
+    per column, so this is really a pad-and-slice — but XLA sees dynamic
+    indices; the select chain keeps it off the gather path."""
     N, LW = seq.shape
     q = base0 // BASES_PER_LIMB
-    a = jnp.take_along_axis(seq, jnp.clip(q, 0, LW - 1), axis=1)
-    return jnp.where(q < LW, a, 0)
+    return _limb_lookup(seq, jnp.broadcast_to(q, (N, q.shape[1])))
 
 
 def _window_rows_dyn(seq: jnp.ndarray, bpos: jnp.ndarray) -> jnp.ndarray:
     """16-base windows at arbitrary per-row/col starts: funnel over 2 limbs."""
     N, LW = seq.shape
-    q = bpos // BASES_PER_LIMB
+    q = (bpos // BASES_PER_LIMB).astype(jnp.int32)
     o = (2 * (bpos % BASES_PER_LIMB)).astype(jnp.uint32)
-    a = jnp.take_along_axis(seq, jnp.clip(q, 0, LW - 1), axis=1)
-    a = jnp.where(q < LW, a, 0)
-    b = jnp.take_along_axis(seq, jnp.clip(q + 1, 0, LW - 1), axis=1)
-    b = jnp.where(q + 1 < LW, b, 0)
+    a = _limb_lookup(seq, q)
+    b = _limb_lookup(seq, q + 1)
     return jnp.where(o > 0, (a << o) | (b >> (32 - o)), a)
 
 

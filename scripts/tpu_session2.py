@@ -110,6 +110,106 @@ def main():
 
     p_ext()
 
+    @phase("extension_ablation")
+    def p_abl():
+        """Time the round's pieces in isolation: find the real bottleneck
+        (the round-2 roofline blamed the permutation gathers; the variadic
+        form only bought 9%, so something else dominates)."""
+        out = {}
+        G = 1_000_000
+        k = 31
+        genome = rng.integers(0, 4, G + k, dtype=np.uint8)
+        N = 1 << 20
+        L = 64
+        idx = rng.integers(0, G, N)
+        seq = np.zeros((N, L), np.uint8)
+        for col in range(k):
+            seq[:, col] = genome[idx + col]
+        p = pk.from_records(Records(
+            jnp.asarray(seq), jnp.full(N, k, jnp.int32),
+            jnp.full(N, -3, jnp.int32), jnp.full(N, -3, jnp.int32),
+            jnp.ones(N, bool)))
+        LW = p.seq.shape[1]
+        marker = jax.jit(pk.draw_markers_packed)(p, jnp.uint32(1))
+        keys = jax.jit(
+            lambda p, m: pk.derive_keys_packed(p, m, k))(p, marker)
+        Wp = keys.shape[1]
+
+        fetch = lambda o: np.asarray(  # noqa: E731
+            (o[0] if isinstance(o, (tuple, list)) else o).ravel()[:8])
+
+        out["draw_markers_s"] = round(bench(
+            lambda: jax.jit(pk.draw_markers_packed)(p, jnp.uint32(1)),
+            fetch), 4)
+        out["derive_keys_s"] = round(bench(
+            lambda: jax.jit(
+                lambda p, m: pk.derive_keys_packed(p, m, k))(p, marker),
+            fetch), 4)
+
+        @jax.jit
+        def full_sort(keys, marker, seq, length, left, right, live):
+            return jax.lax.sort(
+                tuple(keys[:, i] for i in range(Wp)) + (marker,)
+                + tuple(seq[:, i] for i in range(LW))
+                + (length, left, right, live), num_keys=Wp + 1)
+
+        out["variadic_sort_s"] = round(bench(
+            lambda: full_sort(keys, marker, p.seq, p.length, p.left,
+                              p.right, p.live), fetch), 4)
+
+        seg = jnp.cumsum(
+            jnp.any(keys != jnp.roll(keys, 1, axis=0), axis=1)
+            .at[0].set(True).astype(jnp.int32)) - 1
+
+        from reflexiv_tpu.join_core import first_per_segment, segmented_fill
+
+        @jax.jit
+        def fps(seg, live, marker):
+            return (first_per_segment(seg, live & (marker == 1), N),
+                    first_per_segment(seg, live & (marker == 2), N))
+
+        out["first_per_segment_x2_s"] = round(bench(
+            lambda: fps(seg, p.live, marker), fetch), 4)
+
+        @jax.jit
+        def fills(seg, live, marker, seq, length, left, right):
+            fstart = (seg != jnp.roll(seg, 1)) & (marker == 1) & live
+            _v, fields = segmented_fill(
+                fstart, seg, (left, right, length) + tuple(
+                    seq[:, i] for i in range(LW)))
+            return fields[0]
+
+        out["segmented_fill_one_dir_s"] = round(bench(
+            lambda: fills(seg, p.live, marker, p.seq, p.length, p.left,
+                          p.right), fetch), 4)
+
+        f_idx = jnp.minimum(jnp.arange(N, dtype=jnp.int32), N - 1)
+
+        @jax.jit
+        def row_gather(seq, f):
+            return seq[f]
+
+        out["one_row_gather_seq_s"] = round(bench(
+            lambda: row_gather(p.seq, f_idx), fetch), 4)
+
+        @jax.jit
+        def do_concat(seq, length):
+            return pk.concat(seq, length, seq, length,
+                             jnp.full(N, k - 1, jnp.int32), LW)
+
+        out["concat_s"] = round(bench(
+            lambda: do_concat(p.seq, p.length), fetch), 4)
+
+        @jax.jit
+        def do_topk(length, live):
+            return jax.lax.top_k(jnp.where(live, length, 0), 2)[0]
+
+        out["top_k_s"] = round(bench(
+            lambda: do_topk(p.length, p.live), fetch), 4)
+        return out
+
+    p_abl()
+
     # ---- device aux stages at VERDICT scale ----
     n_contigs, n_pairs, n_reads = 100_000, 1_000_000, 1_000_000
     genome_bp = n_contigs * 1000
