@@ -79,11 +79,19 @@ class DynRecords(NamedTuple):
         return self.seq.shape[1]
 
 
-def _segments_from_keys(keys: jnp.ndarray, live: jnp.ndarray):
-    """Sort rows by packed keys; return (order, seg_id, sorted arrays helper)."""
+def _segments_from_keys(keys: jnp.ndarray, live: jnp.ndarray,
+                        tiebreak: jnp.ndarray = None):
+    """Sort rows by packed keys; return (order, seg_id, sorted arrays helper).
+
+    ``tiebreak`` (e.g. the orientation marker) orders rows WITHIN a segment
+    without affecting segment identity — the extension rounds sort markers
+    so the forward partner sits at the segment start (enabling the
+    gather-free segmented-fill join on TPU)."""
     Wp = keys.shape[1]
     keyed = jnp.where(live[:, None], keys, jnp.uint32(0xFFFFFFFF))
-    order = jnp.lexsort(tuple(keyed[:, i] for i in range(Wp - 1, -1, -1)))
+    tb = () if tiebreak is None else (tiebreak,)
+    order = jnp.lexsort(
+        tb + tuple(keyed[:, i] for i in range(Wp - 1, -1, -1)))
     skey = keyed[order]
     prev = jnp.roll(skey, 1, axis=0)
     is_start = jnp.any(skey != prev, axis=1)
@@ -400,7 +408,10 @@ def dyn_extension_round_with_markers(
 
     key_start = jnp.where(marker == 1, 0, recs.length - recs.subk)
     keys = pack_bases(_gather_window(recs.seq, key_start, gw), gw)
-    order, seg = _segments_from_keys(keys, recs.live)
+    # marker as tiebreak: fwd rows first within each segment — keeps this
+    # byte oracle's row order identical to the packed round's marker-keyed
+    # sort (and its TPU segmented-fill join)
+    order, seg = _segments_from_keys(keys, recs.live, tiebreak=marker)
 
     sseq = recs.seq[order]
     slen = recs.length[order]

@@ -107,7 +107,10 @@ def _limb_lookup(seq: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     extension rounds use. Falls back to the gather for very wide rows.
     """
     N, LW = seq.shape
-    if LW > _SELECT_GATHER_MAX_LW:
+    # TPU-only: on CPU the gather is fast and the unrolled select chain
+    # explodes compile time at large limb counts
+    if (LW > _SELECT_GATHER_MAX_LW
+            or jax.devices()[0].platform != "tpu"):
         a = jnp.take_along_axis(seq, jnp.clip(q, 0, LW - 1), axis=1)
         return jnp.where((q >= 0) & (q < LW), a, 0)
     out = jnp.zeros(q.shape, dtype=seq.dtype)
@@ -338,15 +341,16 @@ def finished_mask_packed(p: PackedRecords, k: int) -> jnp.ndarray:
 def extension_round_packed(p: PackedRecords, round_seed: jnp.ndarray, *, k: int):
     import os as _os
 
-    variadic = _os.environ.get("REFLEXIV_VARIADIC_EXTSORT", "1") != "0"
-    # partner_fill defaults ON only on TPU: the associative_scan fills
-    # compile pathologically slowly in XLA:CPU (minutes at 2^20 rows),
-    # and the gathers they replace are only slow on the TPU anyway
-    fill_default = "1" if jax.devices()[0].platform == "tpu" else "0"
+    # TPU-only defaults: XLA:CPU compiles/executes the many-operand
+    # variadic sort and the associative_scan fills pathologically slowly
+    # (minutes at scale), and the row-gathers they replace are only slow
+    # on the TPU (~0.5 GB/s gather floor)
+    on_tpu = "1" if jax.devices()[0].platform == "tpu" else "0"
+    variadic = _os.environ.get("REFLEXIV_VARIADIC_EXTSORT", on_tpu) != "0"
     return _extension_round_packed(
         p, round_seed, k=k, variadic=variadic,
         partner_fill=variadic
-        and _os.environ.get("REFLEXIV_PARTNER_FILL", fill_default) != "0")
+        and _os.environ.get("REFLEXIV_PARTNER_FILL", on_tpu) != "0")
 
 
 @functools.partial(

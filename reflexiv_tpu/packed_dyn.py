@@ -127,13 +127,19 @@ def pdyn_extension_round_with_markers(
 ) -> PackedDynRecords:
     import os as _os
 
+    on_tpu = "1" if jax.devices()[0].platform == "tpu" else "0"
+    variadic = _os.environ.get("REFLEXIV_VARIADIC_EXTSORT", on_tpu) != "0"
     return _pdyn_round_impl(
         p, marker, kmin=kmin, max_sub=max_sub, unique_only=unique_only,
-        variadic=_os.environ.get("REFLEXIV_VARIADIC_EXTSORT", "1") != "0")
+        variadic=variadic,
+        partner_fill=variadic
+        and _os.environ.get("REFLEXIV_PARTNER_FILL", on_tpu) != "0")
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kmin", "max_sub", "unique_only", "variadic")
+    jax.jit,
+    static_argnames=("kmin", "max_sub", "unique_only", "variadic",
+                     "partner_fill"),
 )
 def _pdyn_round_impl(
     p: PackedDynRecords,
@@ -143,6 +149,7 @@ def _pdyn_round_impl(
     max_sub: int,
     unique_only: bool = False,
     variadic: bool = True,
+    partner_fill: bool = False,
 ) -> PackedDynRecords:
     """One mixed-k sort -> join round in limb space.
 
@@ -156,22 +163,26 @@ def _pdyn_round_impl(
     keys = extract_window(p.seq, jnp.maximum(key_start, 0), gw)
     keys = jnp.where(p.live[:, None], keys, jnp.uint32(0xFFFFFFFF))
     Wp = keys.shape[1]
+    # marker is a sort key (after the group key): forward rows lead their
+    # segment, matching the byte oracle's tiebreak and enabling the
+    # gather-free segmented-fill join below
     if variadic:
         # variadic stable sort moves every column directly; the
         # lexsort+gather form pays ~7 row-gathers at the TPU's ~0.5 GB/s
         # XLA gather floor (see packed.extension_round_packed)
         ops = jax.lax.sort(
-            tuple(keys[:, i] for i in range(Wp))
+            tuple(keys[:, i] for i in range(Wp)) + (marker,)
             + tuple(p.seq[:, i] for i in range(LW))
-            + (p.length, p.subk, p.left, p.right, p.live, marker),
-            num_keys=Wp,
+            + (p.length, p.subk, p.left, p.right, p.live),
+            num_keys=Wp + 1,
         )
         skey = jnp.stack(ops[:Wp], axis=-1)
-        sseq = jnp.stack(ops[Wp: Wp + LW], axis=-1)
-        slen, ssub, sleft, sright, slive, smarker = ops[Wp + LW:]
+        smarker = ops[Wp]
+        sseq = jnp.stack(ops[Wp + 1: Wp + 1 + LW], axis=-1)
+        slen, ssub, sleft, sright, slive = ops[Wp + 1 + LW:]
     else:
         order = jnp.lexsort(
-            tuple(keys[:, i] for i in range(Wp - 1, -1, -1)))
+            (marker,) + tuple(keys[:, i] for i in range(Wp - 1, -1, -1)))
         skey = keys[order]
         sseq = p.seq[order]
         slen = p.length[order]
@@ -184,32 +195,68 @@ def _pdyn_round_impl(
     is_start = jnp.any(skey != prev, axis=1)
     is_start = is_start.at[0].set(True)
     seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
-
     idx = jnp.arange(N, dtype=jnp.int32)
-    fwd_first = first_per_segment(seg, slive & (smarker == 1), N)
-    refl_first = first_per_segment(seg, slive & (smarker == 2), N)
-    has_pair = (fwd_first < N) & (refl_first < N)
-    if unique_only:
-        n_fwd = jax.ops.segment_sum(
-            (slive & (smarker == 1)).astype(jnp.int32), seg, num_segments=N
-        )[seg]
-        n_refl = jax.ops.segment_sum(
-            (slive & (smarker == 2)).astype(jnp.int32), seg, num_segments=N
-        )[seg]
-        has_pair = has_pair & (n_fwd == 1) & (n_refl == 1)
 
-    f = jnp.minimum(fwd_first, N - 1)
-    r = jnp.minimum(refl_first, N - 1)
-    f_len, f_sub, f_left, f_right = slen[f], ssub[f], sleft[f], sright[f]
-    r_len, r_sub, r_left, r_right = slen[r], ssub[r], sleft[r], sright[r]
+    if partner_fill:
+        from .join_core import segmented_fill
+
+        fstart = is_start & (smarker == 1) & slive
+        prev_m = jnp.roll(smarker, 1).at[0].set(0)
+        rstart = slive & (smarker == 2) & (is_start | (prev_m != 2))
+        fvalid, (f_left, f_right, f_len, f_sub, pos_f, *f_seq_cols) = \
+            segmented_fill(
+                fstart, seg,
+                (sleft, sright, slen, ssub, idx) + tuple(
+                    sseq[:, i] for i in range(LW)))
+        rvalid, (r_left, r_right, r_len, r_sub, pos_r, *r_seq_cols) = \
+            segmented_fill(
+                rstart, seg,
+                (sleft, sright, slen, ssub, idx) + tuple(
+                    sseq[:, i] for i in range(LW)),
+                reverse=True)
+        has_pair = fvalid & rvalid
+        f_seq = jnp.stack(f_seq_cols, axis=-1)
+        r_seq = jnp.stack(r_seq_cols, axis=-1)
+        if unique_only:
+            # markers sorted: fwd rows are [seg_start, pos_r) and refl rows
+            # [pos_r, next segment start) — counts come from positions, no
+            # segment_sum scatter
+            nxt = jnp.where(is_start, idx, N)
+            next_start = jnp.roll(
+                jax.lax.cummin(nxt, reverse=True), -1).at[-1].set(N)
+            has_pair = has_pair & (pos_r - pos_f == 1) & \
+                (next_start - pos_r == 1)
+        i_am_fwd_base = fstart
+        i_am_refl_base = rstart
+    else:
+        fwd_first = first_per_segment(seg, slive & (smarker == 1), N)
+        refl_first = first_per_segment(seg, slive & (smarker == 2), N)
+        has_pair = (fwd_first < N) & (refl_first < N)
+        if unique_only:
+            n_fwd = jax.ops.segment_sum(
+                (slive & (smarker == 1)).astype(jnp.int32), seg,
+                num_segments=N)[seg]
+            n_refl = jax.ops.segment_sum(
+                (slive & (smarker == 2)).astype(jnp.int32), seg,
+                num_segments=N)[seg]
+            has_pair = has_pair & (n_fwd == 1) & (n_refl == 1)
+        f = jnp.minimum(fwd_first, N - 1)
+        r = jnp.minimum(refl_first, N - 1)
+        f_len, f_sub, f_left, f_right = slen[f], ssub[f], sleft[f], sright[f]
+        r_len, r_sub, r_left, r_right = slen[r], ssub[r], sleft[r], sright[r]
+        f_seq = sseq[f]
+        r_seq = sseq[r]
+        i_am_fwd_base = idx == fwd_first
+        i_am_refl_base = idx == refl_first
+
     f_ext = f_len - f_sub
     r_ext = r_len - r_sub
     extra = f_sub - r_sub
 
     # dynamicSubKmerComparator: refl sub-kmer must prefix the fwd sub-kmer
     SW = limbs_for(max_sub)
-    f_head = sseq[f][:, :SW]
-    r_tail = extract_window(sseq[r], jnp.maximum(r_len - r_sub, 0), max_sub)
+    f_head = f_seq[:, :SW]
+    r_tail = extract_window(r_seq, jnp.maximum(r_len - r_sub, 0), max_sub)
     prefix_ok = masked_prefix_eq(f_head, r_tail, r_sub) & (r_sub <= f_sub)
 
     gate = merge_gate(
@@ -218,11 +265,11 @@ def _pdyn_round_impl(
     merge = has_pair & prefix_ok & gate.merge
 
     merged_seq, new_len = concat(
-        sseq[r], r_len, sseq[f], f_len, r_sub, LW
+        r_seq, r_len, f_seq, f_len, r_sub, LW
     )
 
-    i_am_fwd = merge & (idx == fwd_first)
-    i_am_refl = merge & (idx == refl_first)
+    i_am_fwd = merge & i_am_fwd_base
+    i_am_refl = merge & i_am_refl_base
 
     out_seq = jnp.where(i_am_fwd[:, None], merged_seq, sseq)
     out_len = jnp.where(i_am_fwd, new_len, slen)
