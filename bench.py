@@ -189,6 +189,23 @@ def main():
     golden = (
         assembly["canonical"] == 1 and assembly["lengths"] == [4558]
     )
+    # attach the round-3 on-chip extension/sort evidence (separately
+    # measured, committed artifacts) so the one-line record carries the
+    # hot-loop numbers too
+    ext_evidence = {}
+    ev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "TPU_SESSION2_evidence.json")
+    if os.path.exists(ev_path):
+        with open(ev_path) as fh:
+            ph = json.load(fh).get("phases", {}).get("extension_forms", {})
+        if ph.get("ok"):
+            ext_evidence = {
+                "extension_round_ms": round(
+                    ph["round_variadic_fill_s"] * 1e3, 1),
+                "extension_records_per_sec": ph["recs_per_s_variadic_fill"],
+                "vs_round2_round": round(
+                    0.385 / ph["round_variadic_fill_s"], 1),
+            }
     result = {
         "metric": "kmer_counting_throughput",
         "value": round(counting["kmers_per_sec"] / 1e6, 3),
@@ -208,6 +225,7 @@ def main():
             "assembly_wall_s": round(assembly["wall_s"], 2),
             "golden_parity": golden,
             "contig_lengths": assembly["lengths"],
+            **({"extension_tpu": ext_evidence} if ext_evidence else {}),
             **({"tpu_evidence": counting["tpu_evidence"]}
                if "tpu_evidence" in counting else {}),
         },
