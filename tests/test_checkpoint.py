@@ -107,7 +107,9 @@ def test_meta_survives_midrun_kill(tmp_path):
     deadline = time.time() + 120
     steps = tmp_path / "out" / "steps"
     while time.time() < deadline and proc.poll() is None:
-        if steps.exists() and any(steps.glob("0*")):
+        # a COMPLETED stage (marker present) must exist, else the rerun
+        # legitimately starts from scratch and never logs a resume
+        if steps.exists() and any(steps.glob("0*/_SUCCESS")):
             break
         time.sleep(0.02)
     if proc.poll() is not None:
