@@ -66,3 +66,24 @@ def expand_ranges(lo: jnp.ndarray, cnt: jnp.ndarray, cap: int):
                      total_repeat_length=cap) + within
     valid = h < jnp.sum(cnt)
     return ptr, owner, valid
+
+
+def device_stage_default(stage: str) -> bool:
+    """Per-stage device-vs-numpy default, set from on-chip measurements
+    (TPU_SESSION3_evidence.json, warm compile cache, VERDICT scale):
+
+      end_extend   34.5 s device vs 74 s CPU  -> device wins (2.1x)
+      correction  632 s device vs 316 s CPU   -> numpy wins
+      patching    330 s device vs 181 s CPU   -> numpy wins
+
+    The chunked, host-sync-heavy stages lose to the remote-TPU tunnel's
+    round-trip cost; the sort-heavy end-extend wins. REFLEXIV_DEVICE_STAGES
+    overrides globally: "1" forces every stage onto the device, "0" forces
+    the numpy oracles.
+    """
+    import os
+
+    env = os.environ.get("REFLEXIV_DEVICE_STAGES")
+    if env is not None:
+        return env != "0"
+    return stage == "end_extend"

@@ -475,9 +475,9 @@ def end_extend_arrays(
     (built and sorted there) and each round's lookup + tail gather + vote
     runs as jitted array programs (:func:`_batch_extensions_device`).
     """
-    import os
+    from .device_aux import device_stage_default
 
-    if os.environ.get("REFLEXIV_DEVICE_STAGES", "1") != "0":
+    if device_stage_default("end_extend"):
         index = _DeviceWindowIndex(
             np.asarray(bases), np.asarray(lengths), anchor)
     else:

@@ -341,7 +341,9 @@ def _map_reads_arrays(
     Dispatches to :func:`_map_reads_arrays_device` unless
     ``REFLEXIV_DEVICE_STAGES=0`` (this numpy body is the oracle).
     """
-    if os.environ.get("REFLEXIV_DEVICE_STAGES", "1") != "0":
+    from .device_aux import device_stage_default
+
+    if device_stage_default("patching"):
         return _map_reads_arrays_device(
             mat, lens, idx, k=k, stride=stride, chunk=chunk,
             acgt_ok=acgt_ok)

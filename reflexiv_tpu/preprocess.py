@@ -384,7 +384,9 @@ def correct_reads(
     Dispatches to the device-resident pass (:func:`correct_reads_device`)
     unless ``REFLEXIV_DEVICE_STAGES=0``; the NumPy pass below is the oracle.
     """
-    if os.environ.get("REFLEXIV_DEVICE_STAGES", "1") != "0":
+    from .device_aux import device_stage_default
+
+    if device_stage_default("correction"):
         return correct_reads_device(
             mat, lens, k=k, min_cov=min_cov, max_rounds=max_rounds,
             quals=quals, trust_qual=trust_qual)
