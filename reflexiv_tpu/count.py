@@ -346,11 +346,27 @@ def count_kmers_from_files(
     ``ReflexivDataFrameCounter.java:160-176``)."""
     from .io import iter_read_chunks
 
+    # one device pass must keep its sort buffers well under HBM: cap the
+    # window volume per yielded chunk (2^27 windows x ~12 B of sort
+    # operands ~ 1.6 GB), subdividing ingest chunks row-wise when the
+    # byte budget would exceed it
+    max_windows = 1 << 27
+
     def chunks():
         for m, lens in iter_read_chunks(
                 pattern, params, budget_bytes=budget_bytes):
-            if m.shape[1] >= k:  # a narrower chunk holds no k-windows
+            if m.shape[1] < k:   # a narrower chunk holds no k-windows
+                continue
+            wn = m.shape[1] - k + 1
+            rows_cap = max(1, max_windows // wn)
+            if m.shape[0] <= rows_cap:
                 yield m, lens
+                continue
+            cap = 1
+            while cap * 2 <= rows_cap:
+                cap <<= 1
+            for lo in range(0, m.shape[0], cap):
+                yield m[lo: lo + cap], lens[lo: lo + cap]
 
     return count_kmers_streaming(
         chunks(), k=k, min_cov=min_cov, max_cov=max_cov,
