@@ -463,4 +463,99 @@ int64_t rfx_dedup(const uint8_t* codes, const int64_t* offsets, int64_t n,
   return (int64_t)kept.size();
 }
 
+// K-mer-spectrum error correction, the in-order per-read scan of
+// reflexiv_tpu.preprocess.correct_reads_scalar (the lighter-equivalent,
+// cf. ErrorCorrectionLighterPipe, ReflexivDataFrameErrorCorrecter.java:
+// 551-633): a position covered by no solid window is substituted when
+// exactly ONE alternative makes every covering window solid; earlier
+// fixes in a read are visible to later positions of the same pass.
+// Reads are independent -> parallel over row ranges. quals/trust > 0
+// adds the -trustqual gate (phred >= trust is never substituted).
+
+static inline uint64_t rfx_canon_of(const uint8_t* w, int32_t k) {
+  uint64_t v = 0, rc = 0;
+  for (int32_t i = 0; i < k; ++i) v = (v << 2) | w[i];
+  for (int32_t i = k - 1; i >= 0; --i) rc = (rc << 2) | (3u ^ w[i]);
+  return v < rc ? v : rc;
+}
+
+static inline bool rfx_in_solid(const uint64_t* s, int64_t n, uint64_t v) {
+  int64_t lo = 0, hi = n;
+  while (lo < hi) {
+    int64_t m = (lo + hi) >> 1;
+    if (s[m] < v) lo = m + 1; else hi = m;
+  }
+  return lo < n && s[lo] == v;
+}
+
+extern "C" int64_t rfx_correct(
+    uint8_t* mat, const int32_t* lens, int64_t n_reads, int64_t stride,
+    const uint64_t* solid, int64_t n_solid, int32_t k,
+    const uint8_t* quals, int32_t trust, int32_t n_threads) {
+  if (n_threads <= 0) n_threads = (int32_t)std::thread::hardware_concurrency();
+  if (n_threads <= 0) n_threads = 2;
+  std::vector<int64_t> fixed_per(n_threads, 0);
+  std::vector<std::thread> pool;
+  int64_t per = (n_reads + n_threads - 1) / n_threads;
+  for (int32_t t = 0; t < n_threads; ++t) {
+    int64_t lo = t * per, hi = std::min(n_reads, lo + per);
+    if (lo >= hi) break;
+    pool.emplace_back([=, &fixed_per]() {
+      std::vector<int32_t> csum;   // window-solidity prefix sums
+      int64_t fixed = 0;
+      for (int64_t i = lo; i < hi; ++i) {
+        int32_t n = lens[i];
+        if (n < k + 1 || n > stride) continue;
+        uint8_t* read = mat + i * stride;
+        int32_t W = n - k + 1;
+        csum.assign(W + 1, 0);
+        // rolling canonical values of the ORIGINAL read (the weak map is
+        // not updated by fixes, matching the oracle)
+        uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+        uint64_t fwd = 0, rc = 0;
+        int32_t top = 2 * (k - 1);
+        bool any_weak = false;
+        for (int32_t j = 0; j < n; ++j) {
+          fwd = ((fwd << 2) | read[j]) & mask;
+          rc = (rc >> 2) | ((uint64_t)(3u ^ read[j]) << top);
+          if (j >= k - 1) {
+            uint64_t canon = fwd < rc ? fwd : rc;
+            bool s = rfx_in_solid(solid, n_solid, canon);
+            csum[j - k + 2] = csum[j - k + 1] + (s ? 1 : 0);
+            if (!s) any_weak = true;
+          }
+        }
+        if (!any_weak) continue;
+        for (int32_t p = 0; p < n; ++p) {
+          int32_t w_lo = p - k + 1 > 0 ? p - k + 1 : 0;
+          int32_t w_hi = (W < p + 1) ? W : p + 1;
+          if (csum[w_hi] - csum[w_lo] > 0) continue;  // a solid window covers p
+          if (quals != nullptr && trust > 0 &&
+              quals[i * stride + p] >= (uint8_t)trust)
+            continue;  // trusted base (-trustqual)
+          uint8_t orig = read[p];
+          int32_t n_cand = 0;
+          uint8_t fix = 0;
+          for (uint8_t b = 0; b < 4; ++b) {
+            if (b == orig) continue;
+            read[p] = b;
+            bool all_solid = true;
+            for (int32_t w = w_lo; w < w_hi && all_solid; ++w)
+              all_solid = rfx_in_solid(solid, n_solid,
+                                       rfx_canon_of(read + w, k));
+            read[p] = orig;
+            if (all_solid) { ++n_cand; fix = b; }
+          }
+          if (n_cand == 1) { read[p] = fix; ++fixed; }
+        }
+      }
+      fixed_per[t] += fixed;
+    });
+  }
+  for (auto& th : pool) th.join();
+  int64_t total = 0;
+  for (auto v : fixed_per) total += v;
+  return total;
+}
+
 }  // extern "C"

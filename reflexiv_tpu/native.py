@@ -94,6 +94,13 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int64,
     ]
+    lib.rfx_correct.restype = ctypes.c_int64
+    lib.rfx_correct.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
+    ]
     lib.rfx_merge_pairs.restype = None
     lib.rfx_merge_pairs.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
@@ -340,3 +347,33 @@ def iter_split_chunks(path: str, budget_bytes: int):
             yield codes, lens
 
     return gen()
+
+
+def correct_reads_native(
+    mat: np.ndarray, lens: np.ndarray, solid_sorted: np.ndarray,
+    *, k: int, quals: np.ndarray = None, trust_qual: int = 0,
+    threads: int = 0,
+):
+    """In-place multithreaded k-mer-spectrum correction (the scalar oracle
+    semantics of reflexiv_tpu.preprocess.correct_reads_scalar, parallel
+    over reads). Returns (matrix, n_fixed), or None when the native
+    library is unavailable."""
+    lib = _get_lib()
+    if lib is None or k > 31:
+        return None
+    mat = np.ascontiguousarray(mat, dtype=np.uint8)
+    lens32 = np.ascontiguousarray(lens, dtype=np.int32)
+    solid = np.ascontiguousarray(solid_sorted, dtype=np.uint64)
+    qp = None
+    if quals is not None and trust_qual > 0:
+        quals = np.ascontiguousarray(quals, dtype=np.uint8)
+        assert quals.shape == mat.shape
+        qp = quals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    n_fixed = lib.rfx_correct(
+        mat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lens32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        mat.shape[0], mat.shape[1],
+        solid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(solid), k, qp, int(trust_qual), threads or _N_THREADS,
+    )
+    return mat, int(n_fixed)

@@ -390,6 +390,20 @@ def correct_reads(
         return correct_reads_device(
             mat, lens, k=k, min_cov=min_cov, max_rounds=max_rounds,
             quals=quals, trust_qual=trust_qual)
+    if (os.environ.get("REFLEXIV_NATIVE_CORRECT", "1") != "0"
+            and os.environ.get("REFLEXIV_DEVICE_STAGES") != "0"
+            and k <= 31):
+        # native C++ path (the lighter analog as in-process threads):
+        # per-read in-order scan with the scalar-oracle semantics,
+        # parallel over reads — the fastest backend off the accelerator
+        from . import native
+
+        solid_sorted, _limbs, _counts = _solid_table(mat, lens, k, min_cov)
+        out = native.correct_reads_native(
+            mat.copy(), lens, solid_sorted, k=k,
+            quals=quals, trust_qual=trust_qual)
+        if out is not None:
+            return out
     solid_sorted, limbs, counts = _solid_table(mat, lens, k, min_cov)
     mat = mat.copy()
     n_fixed = 0

@@ -206,3 +206,47 @@ def test_4mc_input_refused_loudly(tmp_path):
     p.write_bytes(b"\x00\x04mc-not-really")
     with pytest.raises(ValueError, match="hadoop-4mc"):
         expand_paths(str(p))
+
+
+def test_native_correction_matches_scalar_oracle():
+    """rfx_correct must reproduce correct_reads_scalar exactly (same
+    in-order semantics), including two errors within one k-window and the
+    -trustqual gate."""
+    import random
+
+    from reflexiv_tpu.io import reads_to_matrix
+    from reflexiv_tpu.preprocess import (
+        _solid_table, correct_reads_scalar)
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    rng = random.Random(61)
+    genome = "".join(rng.choice("ACGT") for _ in range(1200))
+    reads = []
+    for _ in range(400):
+        s = rng.randrange(len(genome) - 90)
+        reads.append(genome[s:s + 90])
+    for i in range(0, len(reads), 6):
+        bad = list(reads[i])
+        p = rng.randrange(10, 80)
+        bad[p] = next(c for c in "ACGT" if c != bad[p])
+        if i % 12 == 0 and p + 8 < 80:  # two errors within one window
+            bad[p + 8] = next(c for c in "ACGT" if c != bad[p + 8])
+        reads[i] = "".join(bad)
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    k = 21
+    want, n_want = correct_reads_scalar(mat, lens, k=k, min_cov=3)
+    solid_sorted, _l, _c = _solid_table(mat, lens, k, 3)
+    got, n_got = native.correct_reads_native(
+        mat.copy(), lens, solid_sorted, k=k)
+    assert n_got == n_want
+    assert np.array_equal(got, want)
+    assert n_got >= 10
+
+    # trust gate: phred 40 at one planted error suppresses that fix
+    quals = np.full(mat.shape, 5, np.uint8)
+    quals[0, :] = 40
+    got_q, n_q = native.correct_reads_native(
+        mat.copy(), lens, solid_sorted, k=k, quals=quals, trust_qual=30)
+    assert n_q <= n_got
+    assert np.array_equal(got_q[0], mat[0])   # row 0 untouched
