@@ -276,6 +276,29 @@ def merge_count_tables(
     return jnp.stack(skey_cols, axis=-1), run_sum.astype(jnp.int32), keep
 
 
+@functools.partial(jax.jit)
+def _merge_compact(limbs_a, counts_a, limbs_b, counts_b):
+    """Merge two (possibly dead-padded) count tables and stably partition
+    the unique rows to the front. Returns (limbs, counts, n_unique) with
+    everything device-resident — the streaming loop never fetches the
+    table, only this scalar (the remote-TPU tunnel makes per-chunk table
+    round trips the dominant cost otherwise)."""
+    limbs, counts, keep = merge_count_tables(
+        limbs_a, counts_a, limbs_b, counts_b)
+    W = limbs.shape[1]
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    cols = tuple(
+        jnp.where(keep, limbs[:, i], sentinel) for i in range(W))
+    # stable partition: dead rows (sentinel keys) to the tail, kept rows
+    # stay in key order
+    ops = jax.lax.sort(
+        ((~keep).astype(jnp.uint32),) + cols
+        + (jnp.where(keep, counts, 0),), num_keys=1)
+    out_limbs = jnp.stack(ops[1:1 + W], axis=-1)
+    out_counts = ops[1 + W]
+    return out_limbs, out_counts, jnp.sum(keep)
+
+
 def count_kmers_streaming(
     chunks,
     *,
@@ -290,41 +313,62 @@ def count_kmers_streaming(
     ``chunks`` yields ``(bases, lengths)`` read batches; each batch is counted
     on-device and merged into the running unique table (the TPU analog of the
     reference's shuffle-combine, bounded by table size instead of input
-    size). The coverage band applies once at the end.
+    size). The table stays DEVICE-RESIDENT across chunks — each merge
+    fetches one scalar (the unique count), not the table. The coverage band
+    applies once at the end.
     """
-    table_limbs = np.zeros((0, num_limbs(k)), dtype=np.uint32)
-    table_counts = np.zeros(0, dtype=np.int32)
+    table = None       # (limbs, counts) device arrays, dead rows zeroed
+    n_table = 0
     for bases, lengths in chunks:
-        part_limbs, part_counts = count_kmers(
-            bases, lengths, k=k, min_cov=1, max_cov=2_000_000_000,
-            front_clip=front_clip, end_clip=end_clip,
-        )
-        if len(table_counts) == 0:
-            table_limbs, table_counts = part_limbs, part_counts
-            continue
-        # pad both sides to powers of two: bounds the number of merge-shape
-        # recompilations to O(log(table size))
-        def _pad(limbs_np, counts_np):
-            n = len(counts_np)
-            cap = 1
-            while cap < n:
-                cap <<= 1
-            return (
-                np.pad(limbs_np, ((0, cap - n), (0, 0))),
-                np.pad(counts_np, (0, cap - n)),
-            )
+        skey, row_count, keep = _count_chunk_device(
+            bases, lengths, k=k,
+            front_clip=front_clip, end_clip=end_clip)
+        if table is None:
+            limbs, counts, n_u = _merge_compact(
+                skey, jnp.where(keep, row_count, 0),
+                skey[:1], jnp.zeros(1, jnp.int32))
+        else:
+            tl, tc = table
+            limbs, counts, n_u = _merge_compact(
+                tl, tc, skey, jnp.where(keep, row_count, 0))
+        n_table = int(n_u)   # the only per-chunk host fetch
+        # shrink capacity between jitted merges: pow2 bound keeps the
+        # number of merge shapes O(log table)
+        cap = 1
+        while cap < max(n_table, 1):
+            cap <<= 1
+        table = (limbs[:cap], counts[:cap])
+    if table is None:
+        return (np.zeros((0, num_limbs(k)), np.uint32),
+                np.zeros(0, np.int32))
+    limbs_np = np.asarray(table[0])[:n_table]
+    counts_np = np.asarray(table[1])[:n_table]
+    band = (counts_np >= min_cov) & (counts_np <= max_cov)
+    return limbs_np[band], counts_np[band]
 
-        tl, tc = _pad(table_limbs, table_counts)
-        pl, pc = _pad(part_limbs, part_counts)
-        limbs, counts, keep = merge_count_tables(
-            jnp.asarray(tl), jnp.asarray(tc),
-            jnp.asarray(pl), jnp.asarray(pc),
-        )
-        keep_np = np.asarray(keep)
-        table_limbs = np.asarray(limbs)[keep_np]
-        table_counts = np.asarray(counts)[keep_np]
-    band = (table_counts >= min_cov) & (table_counts <= max_cov)
-    return table_limbs[band], table_counts[band]
+
+def _count_chunk_device(bases, lengths, *, k, front_clip, end_clip):
+    """One chunk's (sorted keys, run counts, keep) as device arrays —
+    the device-resident half of :func:`count_kmers`."""
+    import os
+
+    from . import pallas_kernels
+
+    use_pallas = (
+        os.environ.get("REFLEXIV_PALLAS_EXTRACT", "1") != "0"
+        and pallas_kernels.supports(k)
+        and front_clip == 0 and end_clip == 0
+        and jax.devices()[0].platform == "tpu"
+    )
+    if use_pallas:
+        limbs, valid = pallas_kernels.extract_canonical_kmers_pallas(
+            jnp.asarray(bases), jnp.asarray(lengths), k=k)
+        return sort_count_filter(
+            limbs, valid, min_cov=1, max_cov=2_000_000_000)
+    return count_pass_fused(
+        jnp.asarray(bases), jnp.asarray(lengths), k=k,
+        min_cov=1, max_cov=2_000_000_000,
+        front_clip=front_clip, end_clip=end_clip)
 
 
 def count_kmers_from_files(
