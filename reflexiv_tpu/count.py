@@ -418,6 +418,78 @@ def count_kmers_from_files(
     )
 
 
+def count_kmers_from_files_multi(
+    pattern: str,
+    klist,
+    *,
+    min_cov: int,
+    max_cov: int = 10_000_000,
+    front_clip: int = 0,
+    end_clip: int = 0,
+    params=None,
+    budget_bytes: int = 1 << 30,
+):
+    """Out-of-core counting for SEVERAL k sizes in one pass over the input:
+    each read chunk is uploaded once and counted for every k (device-
+    resident running tables per k), quartering the host->device volume of
+    the per-k ladder on remote-TPU setups. Returns {k: (limbs, counts)}.
+    """
+    from .io import iter_read_chunks
+
+    max_windows = 1 << 27
+    klist = sorted(set(klist))
+    tables = {k: (None, 0) for k in klist}
+
+    def feed(m, lens):
+        for k in klist:
+            if m.shape[1] < k:
+                continue
+            skey, row_count, keep = _count_chunk_device(
+                m, lens, k=k, front_clip=front_clip, end_clip=end_clip)
+            tl, n_t = tables[k]
+            if tl is None:
+                limbs, counts, n_u = _merge_compact(
+                    skey, jnp.where(keep, row_count, 0),
+                    skey[:1], jnp.zeros(1, jnp.int32))
+            else:
+                limbs, counts, n_u = _merge_compact(
+                    tl[0], tl[1], skey, jnp.where(keep, row_count, 0))
+            n_t = int(n_u)
+            cap = 1
+            while cap < max(n_t, 1):
+                cap <<= 1
+            tables[k] = ((limbs[:cap], counts[:cap]), n_t)
+
+    kmin = klist[0]
+    for m, lens in iter_read_chunks(pattern, params,
+                                    budget_bytes=budget_bytes):
+        if m.shape[1] < kmin:
+            continue
+        wn = m.shape[1] - kmin + 1
+        rows_cap = max(1, max_windows // wn)
+        if m.shape[0] <= rows_cap:
+            feed(m, lens)
+            continue
+        cap = 1
+        while cap * 2 <= rows_cap:
+            cap <<= 1
+        for lo in range(0, m.shape[0], cap):
+            feed(m[lo: lo + cap], lens[lo: lo + cap])
+
+    out = {}
+    for k in klist:
+        tl, n_t = tables[k]
+        if tl is None:
+            out[k] = (np.zeros((0, num_limbs(k)), np.uint32),
+                      np.zeros(0, np.int32))
+            continue
+        limbs_np = np.asarray(tl[0])[:n_t]
+        counts_np = np.asarray(tl[1])[:n_t]
+        band = (counts_np >= min_cov) & (counts_np <= max_cov)
+        out[k] = (limbs_np[band], counts_np[band])
+    return out
+
+
 def count_kmers(
     bases: np.ndarray,
     lengths: np.ndarray,

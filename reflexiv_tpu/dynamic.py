@@ -1102,6 +1102,7 @@ def assemble_dynamic(
         # count + sort each k; -accurate adds mercy k-mers per k
         # (Pipelines.java:1388-1391)
         sorted_sets = {}
+        stream_tables = None   # one-pass multi-k streaming tables (budget)
         bases_p = lens_p = None
         if mesh is not None and not params.sensitive:
             n_dev = mesh.devices.size
@@ -1143,18 +1144,20 @@ def assemble_dynamic(
                 budget = ingest_budget_bytes()
                 pattern = params.input_fastq or params.input_fasta
                 if budget and pattern:
-                    # out-of-core counting ladder: the per-k pass streams
-                    # bounded chunks from disk instead of re-walking the
-                    # in-memory matrix
-                    from .count import count_kmers_from_files
+                    # out-of-core counting ladder: ONE streaming pass over
+                    # the input counts every k (chunks uploaded once,
+                    # device-resident running tables per k)
+                    if stream_tables is None:
+                        from .count import count_kmers_from_files_multi
 
-                    limbs, counts = count_kmers_from_files(
-                        pattern, k=k,
-                        min_cov=params.min_kmer_coverage,
-                        max_cov=params.max_kmer_coverage,
-                        front_clip=params.front_clip,
-                        end_clip=params.end_clip,
-                        params=params, budget_bytes=budget)
+                        stream_tables = count_kmers_from_files_multi(
+                            pattern, klist,
+                            min_cov=params.min_kmer_coverage,
+                            max_cov=params.max_kmer_coverage,
+                            front_clip=params.front_clip,
+                            end_clip=params.end_clip,
+                            params=params, budget_bytes=budget)
+                    limbs, counts = stream_tables[k]
                 else:
                     limbs, counts = count_kmers_auto(
                         bases, lengths, k=k,

@@ -105,3 +105,32 @@ def test_count_from_files_matches_in_memory(tmp_path):
 
     assert table(limbs_s, counts_s) == table(limbs_m, counts_m)
     assert len(counts_s) > 100
+
+
+def test_multi_k_streaming_matches_per_k(tmp_path):
+    """count_kmers_from_files_multi (one pass, all k) must equal the
+    per-k streaming tables."""
+    import random
+
+    from reflexiv_tpu.count import (count_kmers_from_files,
+                                    count_kmers_from_files_multi)
+
+    rng = random.Random(17)
+    genome = "".join(rng.choice("ACGT") for _ in range(2000))
+    fq = tmp_path / "r.fq"
+    with open(fq, "w") as fh:
+        for i in range(2000):
+            s = rng.randrange(len(genome) - 70)
+            fh.write(f"@r{i}\n{genome[s:s+70]}\n+\n{'I'*70}\n")
+    klist = (21, 31, 41)
+    multi = count_kmers_from_files_multi(
+        str(fq), klist, min_cov=2, budget_bytes=32 << 10)
+
+    def table(L, c):
+        return {tuple(r): int(n) for r, n in zip(L, c)}
+
+    for k in klist:
+        want = count_kmers_from_files(
+            str(fq), k=k, min_cov=2, budget_bytes=32 << 10)
+        assert table(*multi[k]) == table(*want), k
+        assert len(multi[k][1]) > 50
