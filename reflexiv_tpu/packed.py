@@ -304,9 +304,21 @@ def grow_packed(p: PackedRecords, new_bases: int) -> PackedRecords:
     return p._replace(seq=jnp.pad(p.seq, ((0, 0), (0, pad))))
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
 def finished_mask_packed(p: PackedRecords, k: int) -> jnp.ndarray:
     """Packed variant of :func:`reflexiv_tpu.extend.finished_mask`."""
+    return _finished_mask_packed(
+        p, k, scatter_free=jax.devices()[0].platform == "tpu")
+
+
+@functools.partial(jax.jit, static_argnames=("k", "scatter_free"))
+def _finished_mask_packed(
+    p: PackedRecords, k: int, *, scatter_free: bool = False
+) -> jnp.ndarray:
+    """``scatter_free`` (TPU default) replaces the lexsort + gathers +
+    segment_sum scatters + inverse-permutation scatter with two variadic
+    stable sorts and two segmented boolean fills — the census at 1M records
+    cost 0.272 s on-chip, ~8x one extension round after round 3's join
+    rewrite, entirely in scatter/gather ops."""
     N = p.capacity
     ones = jnp.ones(N, dtype=jnp.int32)
     head = derive_keys_packed(p, ones, k)
@@ -318,6 +330,29 @@ def finished_mask_packed(p: PackedRecords, k: int) -> jnp.ndarray:
     live2 = jnp.concatenate([p.live, p.live])
     Wp = keys.shape[1]
     keyed = jnp.where(live2[:, None], keys, jnp.uint32(0xFFFFFFFF))
+    if scatter_free:
+        from .join_core import segmented_fill
+
+        idx2 = jnp.arange(2 * N, dtype=jnp.int32)
+        ops = jax.lax.sort(
+            tuple(keyed[:, i] for i in range(Wp))
+            + (is_tail, live2, idx2), num_keys=Wp + 1)
+        skey = jnp.stack(ops[:Wp], axis=-1)
+        stail, slive, sidx = ops[Wp], ops[Wp + 1], ops[Wp + 2]
+        prev = jnp.roll(skey, 1, axis=0)
+        is_start = jnp.any(skey != prev, axis=1).at[0].set(True)
+        seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+        # heads sort before tails within a segment (is_tail is a key)
+        has_head, _ = segmented_fill(
+            is_start & (stail == 0) & slive, seg, ())
+        prev_t = jnp.roll(stail, 1).at[0].set(0)
+        tstart = slive & (stail == 1) & (is_start | (prev_t != 1))
+        has_tail, _ = segmented_fill(tstart, seg, (), reverse=True)
+        partnered_sorted = slive & jnp.where(
+            stail == 0, has_tail, has_head)
+        back = jax.lax.sort((sidx, partnered_sorted), num_keys=1)
+        per = back[1]
+        return p.live & ~per[:N] & ~per[N:]
     order = jnp.lexsort(tuple(keyed[:, i] for i in range(Wp - 1, -1, -1)))
     skey = keyed[order]
     stail = is_tail[order]

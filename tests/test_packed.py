@@ -104,3 +104,31 @@ def test_packed_round_matches_byte_round():
              int(right2[i]))
             for i in np.nonzero(live2)[0])
         assert bs == ps, f"round {rnd}"
+
+
+def test_finished_mask_scatter_free_matches():
+    """The scatter-free census (variadic sorts + segmented fills, the TPU
+    default) must equal the segment_sum form on mixed pools."""
+    import numpy as np
+
+    from reflexiv_tpu import packed as pk
+    from reflexiv_tpu.records import Records
+
+    rng = np.random.default_rng(9)
+    N, L, k = 2048, 64, 21
+    genome = rng.integers(0, 4, 1500, dtype=np.uint8)
+    idx = rng.integers(0, 1400, N)
+    seq = np.zeros((N, L), np.uint8)
+    lens = rng.integers(k, 60, N).astype(np.int32)
+    for c in range(L):
+        m = c < lens
+        seq[m, c] = genome[(idx + c)[m] % 1500]
+    live = rng.random(N) < 0.85
+    p = pk.from_records(Records(
+        jnp.asarray(seq), jnp.asarray(lens),
+        jnp.zeros(N, jnp.int32), jnp.zeros(N, jnp.int32),
+        jnp.asarray(live)))
+    a = pk._finished_mask_packed(p, k, scatter_free=False)
+    b = pk._finished_mask_packed(p, k, scatter_free=True)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert int(jnp.sum(a)) > 0
