@@ -348,7 +348,10 @@ def finished_mask_pdyn(p: PackedDynRecords, kmin: int) -> jnp.ndarray:
 
 def _count_before(a_keys, a_live, b_keys, *, strict: bool) -> jnp.ndarray:
     """Per-b-row count of live a-rows with ``a_key <= b_key`` (``<`` when
-    ``strict``), multi-limb big-endian keys. One fused lexsort + cumsum."""
+    ``strict``), multi-limb big-endian keys. One fused lexsort + cumsum;
+    on TPU the permutation rides the sort's payload columns and verdicts
+    return via a second sort instead of gathers + an inverse-permutation
+    scatter (the 0.5 GB/s floor)."""
     M, W = a_keys.shape
     Nb = b_keys.shape[0]
     keys = jnp.concatenate([a_keys, b_keys], axis=0)
@@ -356,10 +359,21 @@ def _count_before(a_keys, a_live, b_keys, *, strict: bool) -> jnp.ndarray:
         [jnp.ones(M, bool), jnp.zeros(Nb, bool)])
     # tie order decides <= vs <: equal keys put a first for <=, b first for <
     tag = jnp.where(is_a == (not strict), 0, 1).astype(jnp.int32)
+    contrib_pre = (is_a & jnp.concatenate(
+        [a_live, jnp.zeros(Nb, bool)])).astype(jnp.int32)
+    if jax.devices()[0].platform == "tpu":
+        idx = jnp.arange(M + Nb, dtype=jnp.int32)
+        ops = jax.lax.sort(
+            tuple(keys[:, i] for i in range(W)) + (tag, contrib_pre, idx),
+            num_keys=W + 1)
+        contrib = ops[W + 1]
+        sidx = ops[W + 2]
+        c = jnp.cumsum(contrib) - contrib
+        back = jax.lax.sort((sidx, c), num_keys=1)
+        return back[1][M:]
     order = jnp.lexsort(
         (tag,) + tuple(keys[:, i] for i in range(W - 1, -1, -1)))
-    contrib = (is_a & jnp.concatenate(
-        [a_live, jnp.zeros(Nb, bool)]))[order].astype(jnp.int32)
+    contrib = contrib_pre[order]
     c = jnp.cumsum(contrib) - contrib      # a-rows strictly before this row
     out = jnp.zeros(M + Nb, jnp.int32).at[order].set(c)
     return out[M:]
