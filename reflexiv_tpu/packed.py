@@ -249,13 +249,14 @@ def compact_packed(p: PackedRecords, new_cap: int) -> PackedRecords:
 
 
 def merge_parked_packed(p: PackedRecords, parked: list) -> PackedRecords:
-    """Re-combine parked finished rows ``(limbs, length, left, right)`` with
-    the active set into a fresh host-built pool."""
+    """Re-combine parked finished-row BATCHES ``(limbs, length, left,
+    right)`` with the active set into a fresh host-built pool."""
     live = np.asarray(p.live)
     idx = np.nonzero(live)[0]
     n_active = len(idx)
-    total = n_active + len(parked)
-    max_limbs = max([p.limb_capacity] + [s.shape[0] for s, _, _, _ in parked])
+    total = n_active + sum(len(b[1]) for b in parked)
+    max_limbs = max(
+        [p.limb_capacity] + [b[0].shape[1] for b in parked])
     cap = 16
     while cap < total:
         cap <<= 1
@@ -269,12 +270,15 @@ def merge_parked_packed(p: PackedRecords, parked: list) -> PackedRecords:
     left[:n_active] = np.asarray(p.left)[idx]
     right[:n_active] = np.asarray(p.right)[idx]
     new_live[:n_active] = True
-    for j, (s, l, lft, rgt) in enumerate(parked):
-        i = n_active + j
-        seq[i, : len(s)] = s
-        length[i] = l
-        left[i], right[i] = lft, rgt
-        new_live[i] = True
+    at = n_active
+    for s_b, l_b, lft_b, rgt_b in parked:   # batched block copies
+        nb = len(l_b)
+        seq[at: at + nb, : s_b.shape[1]] = s_b
+        length[at: at + nb] = l_b
+        left[at: at + nb] = lft_b
+        right[at: at + nb] = rgt_b
+        new_live[at: at + nb] = True
+        at += nb
     return PackedRecords(
         jnp.asarray(seq), jnp.asarray(length), jnp.asarray(left),
         jnp.asarray(right), jnp.asarray(new_live),
@@ -283,15 +287,16 @@ def merge_parked_packed(p: PackedRecords, parked: list) -> PackedRecords:
 
 def park_finished_rows(p: PackedRecords, fin: np.ndarray, parked: list):
     """Move rows flagged by ``fin`` (host bool mask) out of the active pool
-    into the ``parked`` list; returns the updated pool."""
-    seq_h = np.asarray(p.seq)
-    len_h = np.asarray(p.length)
-    left_h = np.asarray(p.left)
-    right_h = np.asarray(p.right)
-    for i in np.nonzero(fin)[0]:
+    into the ``parked`` list (one batched entry per call — parking can
+    flag millions of rows at production scale, so no per-row Python);
+    returns the updated pool."""
+    idx = np.nonzero(fin)[0]
+    if len(idx):
+        len_b = np.asarray(p.length)[idx]
+        lim = limbs_for(int(len_b.max()))
         parked.append((
-            seq_h[i, : limbs_for(len_h[i])].copy(),
-            int(len_h[i]), int(left_h[i]), int(right_h[i]),
+            np.asarray(p.seq)[idx, :lim].copy(), len_b,
+            np.asarray(p.left)[idx], np.asarray(p.right)[idx],
         ))
     return p._replace(live=p.live & ~jnp.asarray(fin))
 

@@ -422,15 +422,14 @@ def park_finished_pdyn(p: PackedDynRecords, fin, parked: list):
     pool."""
     import numpy as np
 
-    seq_h = np.asarray(p.seq)
-    len_h = np.asarray(p.length)
-    sub_h = np.asarray(p.subk)
-    left_h = np.asarray(p.left)
-    right_h = np.asarray(p.right)
-    for i in np.nonzero(fin)[0]:
+    idx = np.nonzero(fin)[0]
+    if len(idx):
+        len_b = np.asarray(p.length)[idx]
+        lim = limbs_for(int(len_b.max()))
         parked.append((
-            seq_h[i, : limbs_for(len_h[i])].copy(), int(len_h[i]),
-            int(sub_h[i]), int(left_h[i]), int(right_h[i]),
+            np.asarray(p.seq)[idx, :lim].copy(), len_b,
+            np.asarray(p.subk)[idx], np.asarray(p.left)[idx],
+            np.asarray(p.right)[idx],
         ))
     return p._replace(live=p.live & ~jnp.asarray(fin))
 
@@ -442,9 +441,9 @@ def merge_parked_pdyn(p: PackedDynRecords, parked: list) -> PackedDynRecords:
     live = np.asarray(p.live)
     idx = np.nonzero(live)[0]
     n_active = len(idx)
-    total = n_active + len(parked)
+    total = n_active + sum(len(b[1]) for b in parked)
     max_limbs = max(
-        [p.limb_capacity] + [s.shape[0] for s, _, _, _, _ in parked])
+        [p.limb_capacity] + [b[0].shape[1] for b in parked])
     cap = 16
     while cap < total:
         cap <<= 1
@@ -460,13 +459,16 @@ def merge_parked_pdyn(p: PackedDynRecords, parked: list) -> PackedDynRecords:
     left[:n_active] = np.asarray(p.left)[idx]
     right[:n_active] = np.asarray(p.right)[idx]
     new_live[:n_active] = True
-    for j, (s, l, sk, lft, rgt) in enumerate(parked):
-        i = n_active + j
-        seq[i, : len(s)] = s
-        length[i] = l
-        subk[i] = sk
-        left[i], right[i] = lft, rgt
-        new_live[i] = True
+    at = n_active
+    for s_b, l_b, sk_b, lft_b, rgt_b in parked:   # batched block copies
+        nb = len(l_b)
+        seq[at: at + nb, : s_b.shape[1]] = s_b
+        length[at: at + nb] = l_b
+        subk[at: at + nb] = sk_b
+        left[at: at + nb] = lft_b
+        right[at: at + nb] = rgt_b
+        new_live[at: at + nb] = True
+        at += nb
     return PackedDynRecords(
         jnp.asarray(seq), jnp.asarray(length), jnp.asarray(subk),
         jnp.asarray(left), jnp.asarray(right), jnp.asarray(new_live),
