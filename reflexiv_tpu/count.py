@@ -276,6 +276,22 @@ def merge_count_tables(
     return jnp.stack(skey_cols, axis=-1), run_sum.astype(jnp.int32), keep
 
 
+def _table_cap(n: int) -> int:
+    """Quarter-pow2 capacity quantization: {1, 1.25, 1.5, 1.75} x 2^k.
+    Bounds merge-shape recompiles to 4 per octave while wasting at most
+    25%% of HBM over the true table size — a straight pow2 pad OOMed the
+    30 Mbp scale run's merges (error singletons push the unique table
+    toward ~100M rows and the merge transient is ~2.5x the operand
+    bytes)."""
+    n = max(n, 16)
+    p = 1 << (n - 1).bit_length()      # pow2 >= n
+    for frac in (4, 5, 6, 7):
+        cap = (p // 8) * frac
+        if cap >= n:
+            return cap
+    return p
+
+
 @functools.partial(jax.jit)
 def _merge_compact(limbs_a, counts_a, limbs_b, counts_b):
     """Merge two (possibly dead-padded) count tables and stably partition
@@ -332,12 +348,8 @@ def count_kmers_streaming(
             limbs, counts, n_u = _merge_compact(
                 tl, tc, skey, jnp.where(keep, row_count, 0))
         n_table = int(n_u)   # the only per-chunk host fetch
-        # shrink capacity between jitted merges: pow2 bound keeps the
-        # number of merge shapes O(log table)
-        cap = 1
-        while cap < max(n_table, 1):
-            cap <<= 1
-        table = (limbs[:cap], counts[:cap])
+        table = (limbs[:_table_cap(n_table)],
+                 counts[:_table_cap(n_table)])
     if table is None:
         return (np.zeros((0, num_limbs(k)), np.uint32),
                 np.zeros(0, np.int32))
@@ -391,10 +403,11 @@ def count_kmers_from_files(
     from .io import iter_read_chunks
 
     # one device pass must keep its sort buffers well under HBM: cap the
-    # window volume per yielded chunk (2^27 windows x ~12 B of sort
-    # operands ~ 1.6 GB), subdividing ingest chunks row-wise when the
-    # byte budget would exceed it
-    max_windows = 1 << 27
+    # window volume per yielded chunk (2^25 windows — the chunk also rides
+    # through the table merge, whose transient is the binding constraint
+    # when the unique table is large), subdividing ingest chunks row-wise
+    # when the byte budget would exceed it
+    max_windows = 1 << 25
 
     def chunks():
         for m, lens in iter_read_chunks(
@@ -436,7 +449,7 @@ def count_kmers_from_files_multi(
     """
     from .io import iter_read_chunks
 
-    max_windows = 1 << 27
+    max_windows = 1 << 25
     klist = sorted(set(klist))
     tables = {k: (None, 0) for k in klist}
 
@@ -455,10 +468,8 @@ def count_kmers_from_files_multi(
                 limbs, counts, n_u = _merge_compact(
                     tl[0], tl[1], skey, jnp.where(keep, row_count, 0))
             n_t = int(n_u)
-            cap = 1
-            while cap < max(n_t, 1):
-                cap <<= 1
-            tables[k] = ((limbs[:cap], counts[:cap]), n_t)
+            tables[k] = ((limbs[:_table_cap(n_t)],
+                          counts[:_table_cap(n_t)]), n_t)
 
     kmin = klist[0]
     for m, lens in iter_read_chunks(pattern, params,
