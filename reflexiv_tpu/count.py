@@ -16,6 +16,7 @@ shards by key hash with ``all_to_all`` before the same local sort-count.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Tuple
 
 import jax
@@ -23,6 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .bitpack import num_limbs
+
+log = logging.getLogger("reflexiv_tpu")
 
 
 @functools.partial(jax.jit, static_argnames=("k", "front_clip", "end_clip"))
@@ -276,6 +279,56 @@ def merge_count_tables(
     return jnp.stack(skey_cols, axis=-1), run_sum.astype(jnp.int32), keep
 
 
+def _device_table_rows_limit(W: int) -> int:
+    """Max running-table rows kept in HBM before spilling to the host.
+
+    The streaming merge's transient is ~2.5x the concatenated operands
+    ((W+2) uint32 columns over table+chunk rows); with the multi-k ladder
+    holding one running table per k, an unbounded table OOMs a 16 GB chip
+    near ~100M rows (the measured 30 Mbp wall, ROADMAP round-3 campaign).
+    Default bounds one table's merge transient to ~2.5*(limit+2^25)*(W+2)*4
+    bytes (~5 GB at W=2). Override with REFLEXIV_DEVICE_TABLE_ROWS."""
+    import os
+
+    env = os.environ.get("REFLEXIV_DEVICE_TABLE_ROWS")
+    if env:
+        return int(env)
+    return max(1 << 22, (1 << 27) // (W + 2))
+
+
+def _host_merge_parts(parts, W: int):
+    """K-way merge of sorted unique (limbs, counts) tables **on the host**
+    (numpy): concatenate, sort by the uint32 key columns, run-length sum.
+
+    This is the bounded-RAM half of the spill-to-host table mode — the
+    single-host analog of the reference shuffling its count table across
+    executors instead of holding it on one node
+    (``ReflexivDataFrameCounter.java:198-209``). Peak RAM is ~3x the
+    concatenated spill size; the device only ever held the bounded running
+    table."""
+    limbs = np.concatenate([p[0] for p in parts], axis=0)
+    counts = np.concatenate([p[1] for p in parts], axis=0)
+    if not len(limbs):
+        return limbs.reshape(0, W), counts
+    if W == 1:
+        order = np.argsort(limbs[:, 0], kind="stable")
+    elif W == 2:
+        # pack both limbs into one uint64: a single radix-ish sort beats
+        # per-column lexsort ~3x at 10^8 rows
+        key64 = (limbs[:, 0].astype(np.uint64) << np.uint64(32)) \
+            | limbs[:, 1].astype(np.uint64)
+        order = np.argsort(key64, kind="stable")
+    else:
+        order = np.lexsort(tuple(limbs[:, i] for i in range(W - 1, -1, -1)))
+    limbs = limbs[order]
+    counts = counts[order]
+    is_start = np.any(limbs != np.roll(limbs, 1, axis=0), axis=1)
+    is_start[0] = True
+    starts = np.nonzero(is_start)[0]
+    sums = np.add.reduceat(counts.astype(np.int64), starts)
+    return limbs[is_start], np.minimum(sums, 2**31 - 1).astype(np.int32)
+
+
 def _table_cap(n: int) -> int:
     """Quarter-pow2 capacity quantization: {1, 1.25, 1.5, 1.75} x 2^k.
     Bounds merge-shape recompiles to 4 per octave while wasting at most
@@ -333,8 +386,11 @@ def count_kmers_streaming(
     fetches one scalar (the unique count), not the table. The coverage band
     applies once at the end.
     """
+    W = num_limbs(k)
+    spill_rows = _device_table_rows_limit(W)
     table = None       # (limbs, counts) device arrays, dead rows zeroed
     n_table = 0
+    host_parts = []    # spilled sorted unique segments (host)
     for bases, lengths in chunks:
         skey, row_count, keep = _count_chunk_device(
             bases, lengths, k=k,
@@ -348,13 +404,27 @@ def count_kmers_streaming(
             limbs, counts, n_u = _merge_compact(
                 tl, tc, skey, jnp.where(keep, row_count, 0))
         n_table = int(n_u)   # the only per-chunk host fetch
-        table = (limbs[:_table_cap(n_table)],
-                 counts[:_table_cap(n_table)])
-    if table is None:
-        return (np.zeros((0, num_limbs(k)), np.uint32),
-                np.zeros(0, np.int32))
-    limbs_np = np.asarray(table[0])[:n_table]
-    counts_np = np.asarray(table[1])[:n_table]
+        if n_table > spill_rows:
+            # spill-to-host table mode: HBM holds only the bounded running
+            # table; oversize inputs trade HBM for host RAM + a final host
+            # merge instead of OOMing the device merge (the 30 Mbp wall)
+            host_parts.append((np.asarray(limbs[:n_table]),
+                               np.asarray(counts[:n_table])))
+            log.info("counting k=%d: spilled %d-row table segment to host "
+                     "(%d segments)", k, n_table, len(host_parts))
+            table, n_table = None, 0
+        else:
+            table = (limbs[:_table_cap(n_table)],
+                     counts[:_table_cap(n_table)])
+    if table is not None and n_table:
+        host_parts.append((np.asarray(table[0][:n_table]),
+                           np.asarray(table[1][:n_table])))
+    if not host_parts:
+        return (np.zeros((0, W), np.uint32), np.zeros(0, np.int32))
+    if len(host_parts) == 1:
+        limbs_np, counts_np = host_parts[0]
+    else:
+        limbs_np, counts_np = _host_merge_parts(host_parts, W)
     band = (counts_np >= min_cov) & (counts_np <= max_cov)
     return limbs_np[band], counts_np[band]
 
@@ -452,6 +522,8 @@ def count_kmers_from_files_multi(
     max_windows = 1 << 25
     klist = sorted(set(klist))
     tables = {k: (None, 0) for k in klist}
+    host_parts = {k: [] for k in klist}   # spilled sorted segments per k
+    spill_rows = {k: _device_table_rows_limit(num_limbs(k)) for k in klist}
 
     def feed(m, lens):
         for k in klist:
@@ -468,8 +540,18 @@ def count_kmers_from_files_multi(
                 limbs, counts, n_u = _merge_compact(
                     tl[0], tl[1], skey, jnp.where(keep, row_count, 0))
             n_t = int(n_u)
-            tables[k] = ((limbs[:_table_cap(n_t)],
-                          counts[:_table_cap(n_t)]), n_t)
+            if n_t > spill_rows[k]:
+                # spill-to-host (see count_kmers_streaming): the multi-k
+                # ladder keeps one running table per k in HBM at once, so
+                # bounding each is what keeps 30 Mbp+ on one chip
+                host_parts[k].append((np.asarray(limbs[:n_t]),
+                                      np.asarray(counts[:n_t])))
+                log.info("counting k=%d: spilled %d-row table segment to "
+                         "host (%d segments)", k, n_t, len(host_parts[k]))
+                tables[k] = (None, 0)
+            else:
+                tables[k] = ((limbs[:_table_cap(n_t)],
+                              counts[:_table_cap(n_t)]), n_t)
 
     kmin = klist[0]
     for m, lens in iter_read_chunks(pattern, params,
@@ -489,13 +571,19 @@ def count_kmers_from_files_multi(
 
     out = {}
     for k in klist:
+        W = num_limbs(k)
         tl, n_t = tables[k]
-        if tl is None:
-            out[k] = (np.zeros((0, num_limbs(k)), np.uint32),
-                      np.zeros(0, np.int32))
+        parts = host_parts[k]
+        if tl is not None and n_t:
+            parts = parts + [(np.asarray(tl[0][:n_t]),
+                              np.asarray(tl[1][:n_t]))]
+        if not parts:
+            out[k] = (np.zeros((0, W), np.uint32), np.zeros(0, np.int32))
             continue
-        limbs_np = np.asarray(tl[0])[:n_t]
-        counts_np = np.asarray(tl[1])[:n_t]
+        if len(parts) == 1:
+            limbs_np, counts_np = parts[0]
+        else:
+            limbs_np, counts_np = _host_merge_parts(parts, W)
         band = (counts_np >= min_cov) & (counts_np <= max_cov)
         out[k] = (limbs_np[band], counts_np[band])
     return out

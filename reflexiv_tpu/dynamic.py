@@ -529,40 +529,99 @@ def _compact_grow(
 
 
 def run_dyn_extension(
-    recs: DynRecords, params: Params, *, kmin: int, kmax: int,
+    recs, params: Params, *, kmin: int, kmax: int,
     seed: int = 0, unique_only: bool = False,
     max_rounds: Optional[int] = None, mesh=None,
-) -> DynRecords:
+    return_packed: bool = False, ckpt_dir: Optional[str] = None,
+):
     """Iterate mixed-k rounds to fixpoint (cf. FirstFour + Iteration batches,
     ``Pipelines.java:856-952``).
 
     Runs on the 2-bit packed representation (:mod:`reflexiv_tpu.packed_dyn`)
     — 4x less HBM traffic per round than byte records; converts at the
-    boundaries only. With ``mesh`` set, every round is a hash-routed
-    ``all_to_all`` exchange + local join under ``shard_map``
+    boundaries only. ``recs`` may be byte :class:`DynRecords` (device or
+    host numpy arrays — host pools are packed blockwise on the host so the
+    byte matrix never reaches HBM) or an already-packed
+    :class:`~reflexiv_tpu.packed_dyn.PackedDynRecords`; ``return_packed``
+    skips the final unpack (at scale the full-width byte matrix is exactly
+    the transient that OOMs a chip). With ``mesh`` set, every round is a
+    hash-routed ``all_to_all`` exchange + local join under ``shard_map``
     (:func:`reflexiv_tpu.parallel.pdyn_extension_round_sharded`).
+
+    With ``ckpt_dir`` set, the loop state (packed pool + parked blocks +
+    counters) is checkpointed every ``REFLEXIV_CKPT_EVERY_S`` seconds
+    (default 300) and a later call with the same ``ckpt_dir`` resumes
+    mid-loop — so a killed session loses minutes of the extension ladder,
+    not the whole stage (the reference loses at most one Spark job the same
+    way, ``Pipelines.java:613-830``).
     """
+    import time as _time
+
+    from . import checkpoint as ckpt_mod
     from . import packed_dyn as pd
+    from .records import next_pow2 as _np2
 
     max_rounds = max_rounds or params.max_iterations
-    max_sub = int(jnp.max(jnp.where(recs.live, recs.subk, 1)))
-    p = pd.from_dyn(recs)
-    stable = 0
-    prev = int(jnp.sum(p.live))
-    need = int(jnp.max(jnp.where(p.live, p.length, 0))) * 2
+    ckpt_every = float(os.environ.get("REFLEXIV_CKPT_EVERY_S", "300"))
+    last_ckpt = _time.time()
+
+    state0 = ckpt_mod.load_loop_state(ckpt_dir) if ckpt_dir else None
+    saved_cap = None
+    if state0 is not None:
+        p_host, parked0, st = state0
+        p = pd.PackedDynRecords(*(jnp.asarray(a) for a in p_host))
+        p = _pad_pdyn(p, max(_np2(p.capacity), 16))
+        max_sub = st["max_sub"]
+        it0 = st["it"] + 1
+        stable, prev, need = st["stable"], st["prev"], st["need"]
+        saved_cap = st.get("cap")
+        log.info("extension loop: resuming at round %d (%d live rows)",
+                 it0, prev)
+    else:
+        parked0 = []
+        if isinstance(recs, pd.PackedDynRecords):
+            p = recs
+        elif isinstance(recs.seq, np.ndarray):
+            p = pd.from_dyn_host(recs)
+        else:
+            p = pd.from_dyn(recs)
+        max_sub = int(jnp.max(jnp.where(p.live, p.subk, 1)))
+        it0, stable = 1, 0
+        prev = int(jnp.sum(p.live))
+        need = int(jnp.max(jnp.where(p.live, p.length, 0))) * 2
+
+    def _loop_ckpt(pool, parked, it, extra=None):
+        nonlocal last_ckpt
+        if not ckpt_dir or _time.time() - last_ckpt < ckpt_every:
+            return
+        state = {"it": it, "stable": stable, "prev": prev, "need": need,
+                 "max_sub": max_sub}
+        if extra:
+            state.update(extra)
+        ckpt_mod.save_loop_state(ckpt_dir, pool, parked, state)
+        last_ckpt = _time.time()
+
+    def _finish(pool, parked):
+        # NOTE: the in-loop checkpoint dir is deliberately NOT cleared here
+        # — the caller clears it after persisting the stage result, so a
+        # death between loop end and stage save still has a resume point
+        # (re-entering a completed loop replays only the post-checkpoint
+        # rounds, deterministically).
+        if parked:
+            pool = pd.merge_parked_pdyn(pool, parked)
+        return pool if return_packed else pd.to_dyn(pool)
 
     if mesh is not None:
         from .parallel import pdyn_extension_round_sharded
-        from .records import next_pow2 as _np2
 
         n_dev = mesh.devices.size
         # floor the pool so per-destination buckets survive key skew even
         # when only a handful of records remain (fixing stage)
-        cap = max(_np2(prev) * 2, 64 * n_dev)
+        cap = saved_cap or max(_np2(prev) * 2, 64 * n_dev)
         cap = ((cap + n_dev - 1) // n_dev) * n_dev
         p = _pad_pdyn(p, cap)
-        parked_m: list = []
-        it = 1
+        parked_m: list = list(parked0)
+        it = it0
         while it <= max_rounds:
             if need > p.base_capacity:
                 from .packed import limbs_for
@@ -610,13 +669,12 @@ def run_dyn_extension(
                     cap = max(_np2(max(prev, 1)) * 2, 64 * n_dev)
                     cap = ((cap + n_dev - 1) // n_dev) * n_dev
                     p = _pad_pdyn(p, cap)
+            _loop_ckpt(p, parked_m, it, {"cap": cap})
             it += 1
-        if parked_m:
-            p = pd.merge_parked_pdyn(p, parked_m)
-        return pd.to_dyn(p)
+        return _finish(p, parked_m)
 
-    parked: list = []
-    for it in range(1, max_rounds + 1):
+    parked: list = list(parked0)
+    for it in range(it0, max_rounds + 1):
         p = pd.compact_grow_pdyn(p, prev, need)
         p, live_n, need_arr = pd.pdyn_extension_round_fused(
             p, jnp.uint32(seed + it), kmin=kmin, max_sub=max_sub,
@@ -644,9 +702,8 @@ def run_dyn_extension(
             if n_fin > max(32, p.capacity // 8):
                 p = pd.park_finished_pdyn(p, fin, parked)
                 prev = n - n_fin
-    if parked:
-        p = pd.merge_parked_pdyn(p, parked)
-    return pd.to_dyn(p)
+        _loop_ckpt(p, parked, it)
+    return _finish(p, parked)
 
 
 def _pad_pdyn(p, cap_rows: int):
@@ -834,6 +891,7 @@ def _dyn_pool_from_parts(parts, min_subk_width: int = 1) -> DynRecords:
 def fixing_rounds_faithful(
     recs: DynRecords, params: Params, *, kmax: int, kfix: int = 31,
     seed: int = 1000, mesh=None, round_schedule: Tuple[int, ...] = (18, 30),
+    ckpt_ns: Optional[str] = None,
 ) -> DynRecords:
     """Faithful 04Fixing + 05FixingAgain
     (``ReflexivDSDynamicKmerFixing.java:125-259``,
@@ -853,12 +911,24 @@ def fixing_rounds_faithful(
     if kmax < kfix + 1:
         # degenerate k ladder: end windows would be empty
         return fixing_rounds(
-            recs, params, kfix=min(kfix, kmax), seed=seed, mesh=mesh)
+            recs, params, kfix=min(kfix, kmax), seed=seed, mesh=mesh,
+            ckpt_ns=ckpt_ns)
     import dataclasses as _dc
 
+    from . import checkpoint as ckpt_mod
+    from . import packed_dyn as pd
     from .bitpack import canonical_packed, revcomp_bases
+    from .io import has_success_marker
 
     for pass_i, n_rounds in enumerate(round_schedule):
+        if ckpt_ns:
+            # completed-pass snapshot: a death in pass i+1 resumes without
+            # re-running pass i's rounds
+            done_dir = f"{ckpt_ns}_p{pass_i}_done"
+            if has_success_marker(done_dir):
+                recs = ckpt_mod.load_records(
+                    os.path.dirname(done_dir), os.path.basename(done_dir))
+                continue
         end_windows, interiors, smalls = _fixing_split_arrays(
             recs, kmax, kfix)
         if not len(end_windows):
@@ -888,13 +958,19 @@ def fixing_rounds_faithful(
         recs = run_dyn_extension(
             pool, fix_params, kmin=kfix, kmax=kfix,
             seed=seed + 500 * pass_i, max_rounds=n_rounds, mesh=mesh,
+            return_packed=True,
+            ckpt_dir=f"{ckpt_ns}_p{pass_i}" if ckpt_ns else None,
         )
+        recs = pd.to_dyn_host(recs)
+        if ckpt_ns:
+            ckpt_mod.save_records(
+                os.path.dirname(done_dir), os.path.basename(done_dir), recs)
     return recs
 
 
 def fixing_rounds(
     recs: DynRecords, params: Params, *, kfix: int = 31, seed: int = 1000,
-    mesh=None,
+    mesh=None, ckpt_ns: Optional[str] = None,
 ) -> DynRecords:
     """Contig-end rejoin on fixed (kfix-1)-base overlaps, unique joins only.
 
@@ -905,17 +981,32 @@ def fixing_rounds(
     group with more than one candidate) blocks the join, standing in for the
     reference's fork filters on re-counted end k-mers.
     """
-    sub = jnp.minimum(jnp.int32(kfix - 1), recs.length - 1)
-    eligible = recs.live & (recs.length >= kfix)
-    recs = recs._replace(
-        subk=jnp.where(eligible, sub, recs.subk),
-        left=jnp.where(eligible, -1, recs.left),
-        right=jnp.where(eligible, -1, recs.right),
-    )
-    return run_dyn_extension(
+    from . import packed_dyn as pd
+
+    if isinstance(recs.seq, np.ndarray):
+        # keep a host pool on the host: the packed loop re-packs anyway
+        sub = np.minimum(np.int32(kfix - 1), np.asarray(recs.length) - 1)
+        eligible = np.asarray(recs.live) & (np.asarray(recs.length) >= kfix)
+        recs = recs._replace(
+            subk=np.where(eligible, sub, recs.subk).astype(np.int32),
+            left=np.where(eligible, -1, recs.left).astype(np.int32),
+            right=np.where(eligible, -1, recs.right).astype(np.int32),
+        )
+    else:
+        sub = jnp.minimum(jnp.int32(kfix - 1), recs.length - 1)
+        eligible = recs.live & (recs.length >= kfix)
+        recs = recs._replace(
+            subk=jnp.where(eligible, sub, recs.subk),
+            left=jnp.where(eligible, -1, recs.left),
+            right=jnp.where(eligible, -1, recs.right),
+        )
+    out = run_dyn_extension(
         recs, params, kmin=kfix, kmax=kfix, seed=seed,
         unique_only=True, max_rounds=48, mesh=mesh,
+        return_packed=True,
+        ckpt_dir=f"{ckpt_ns}_fast" if ckpt_ns else None,
     )
+    return pd.to_dyn_host(out)
 
 
 def dedup_contigs(contigs: List[str], seed_k: int = 31) -> List[str]:
@@ -964,7 +1055,13 @@ def dedup_contigs(contigs: List[str], seed_k: int = 31) -> List[str]:
 def records_from_sorted(
     sets: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray, int]],
 ) -> DynRecords:
-    """Stack per-k (bases, left, right, k) sets into one DynRecords pool."""
+    """Stack per-k (bases, left, right, k) sets into one DynRecords pool.
+
+    Returns a **host (numpy) pool**: at 10 Mbp+ the stacked byte matrix is
+    multiple GB, and every consumer either works on host arrays
+    (``pool_to_sets``, the fixing split) or packs to 2-bit before upload
+    (``run_dyn_extension`` via ``from_dyn_host``) — uploading the byte form
+    would waste 4x HBM for nothing."""
     total = sum(len(b) for b, _, _, _ in sets)
     kmax = max(k for _, _, _, k in sets)
     cap = max(next_pow2(total), 16)
@@ -985,10 +1082,7 @@ def records_from_sorted(
         right[at:at + n] = r
         live[at:at + n] = True
         at += n
-    return DynRecords(
-        jnp.asarray(seq), jnp.asarray(length), jnp.asarray(subk),
-        jnp.asarray(left), jnp.asarray(right), jnp.asarray(live),
-    )
+    return DynRecords(seq, length, subk, left, right, live)
 
 
 def assemble_dynamic(
@@ -1102,9 +1196,19 @@ def assemble_dynamic(
         # count + sort each k; -accurate adds mercy k-mers per k
         # (Pipelines.java:1388-1391)
         sorted_sets = {}
+        # per-k partial checkpoints: a death mid-ladder resumes at the
+        # first k whose sorted set is not yet on disk
+        if workdir:
+            for k in klist:
+                if ckpt.has_kset(workdir, f"00partial/k{k}"):
+                    sorted_sets[k] = ckpt.load_kset(workdir, f"00partial/k{k}")
+                    log.info("k=%d: restored sorted set from partial "
+                             "checkpoint (%d records)", k,
+                             len(sorted_sets[k][0]))
+        missing_ks = [k for k in klist if k not in sorted_sets]
         stream_tables = None   # one-pass multi-k streaming tables (budget)
         bases_p = lens_p = None
-        if mesh is not None and not params.sensitive:
+        if mesh is not None and not params.sensitive and missing_ks:
             n_dev = mesh.devices.size
             R = bases.shape[0]
             R_pad = ((R + n_dev - 1) // n_dev) * n_dev
@@ -1113,7 +1217,7 @@ def assemble_dynamic(
                 jnp.asarray(bases))
             lens_p = jnp.zeros((R_pad,), jnp.int32).at[:R].set(
                 jnp.asarray(lengths))
-        for k in klist:
+        for k in missing_ks:
             if params.sensitive and mesh is not None:
                 # -accurate no longer abandons the mesh (VERDICT r2 weak
                 # #4): the mercy table computes with the count table
@@ -1150,8 +1254,10 @@ def assemble_dynamic(
                     if stream_tables is None:
                         from .count import count_kmers_from_files_multi
 
+                        # only the ks not already checkpointed: a resumed
+                        # ladder streams the input once for the remainder
                         stream_tables = count_kmers_from_files_multi(
-                            pattern, klist,
+                            pattern, missing_ks,
                             min_cov=params.min_kmer_coverage,
                             max_cov=params.max_kmer_coverage,
                             front_clip=params.front_clip,
@@ -1169,48 +1275,77 @@ def assemble_dynamic(
                     )
                 sorted_sets[k] = sort_k_records(limbs, counts, k, params)
             log.info("k=%d: %d sorted records", k, len(sorted_sets[k][0]))
+            if workdir:
+                ckpt.save_kset(workdir, f"00partial/k{k}", sorted_sets[k], k)
         pool = records_from_sorted(
             [(b, l, r, k) for k, (b, l, r) in sorted_sets.items()]
         )
         if workdir:
             ckpt.save_records(workdir, "00sorted", pool)
+            ckpt.clear_partial(workdir, "00partial")
         met.lap("meta/00count_sort")
 
     if resume_idx < 1:
         # pairwise reduction along the k ladder (Pipelines.java:1315-1737)
         sorted_sets = pool_to_sets(pool)
-        for k1, k2 in zip(klist, klist[1:]):
+        for i, (k1, k2) in enumerate(zip(klist, klist[1:])):
+            p1 = f"01partial/pair{i}_k{k1}"
+            p2 = f"01partial/pair{i}_k{k2}"
+            if workdir and ckpt.has_kset(workdir, p1) \
+                    and ckpt.has_kset(workdir, p2):
+                sorted_sets[k1] = ckpt.load_kset(workdir, p1)
+                sorted_sets[k2] = ckpt.load_kset(workdir, p2)
+                log.info("reduce %d vs %d: restored from partial checkpoint",
+                         k1, k2)
+                continue
             shorts, longs = reduce_k_pair(
                 sorted_sets[k1], sorted_sets[k2], k1, k2)
             sorted_sets[k1] = shorts
             sorted_sets[k2] = longs
             log.info("reduce %d vs %d: %d short k-mers kept", k1, k2,
                      len(shorts[0]))
+            if workdir:
+                ckpt.save_kset(workdir, p1, shorts, k1)
+                ckpt.save_kset(workdir, p2, longs, k2)
         pool = records_from_sorted(
             [(b, l, r, k) for k, (b, l, r) in sorted_sets.items()]
         )
         if workdir:
             ckpt.save_records(workdir, "01reduced", pool)
+            ckpt.clear_partial(workdir, "01partial")
         met.lap("meta/01reduce")
 
     if resume_idx < 2:
+        from . import packed_dyn as _pd
+
+        # packed end to end: the extension returns the 2-bit pool and the
+        # checkpoint writer consumes it blockwise — the full-width byte
+        # matrix (the round-3 10 Mbp OOM) never exists in HBM
         pool = run_dyn_extension(
-            pool, params, kmin=kmin, kmax=kmax, seed=seed, mesh=mesh)
+            pool, params, kmin=kmin, kmax=kmax, seed=seed, mesh=mesh,
+            return_packed=True,
+            ckpt_dir=os.path.join(workdir, "02partial") if workdir else None)
         if workdir:
             ckpt.save_records(workdir, "02extended", pool)
+            ckpt.clear_partial(workdir, "02partial")
+        pool = _pd.to_dyn_host(pool)
         met.lap("meta/02extend")
         met.set("meta/live_after_extension", int(np.sum(np.asarray(pool.live))))
 
     if resume_idx < 3:
+        fix_ns = os.path.join(workdir, "03partial") if workdir else None
         if os.environ.get("REFLEXIV_FAST_FIXING") == "1" or kmax < 32:
             # unique-exact-overlap fast path (or degenerate k ladder)
             pool = fixing_rounds(
-                pool, params, kfix=min(31, kmin), seed=seed + 1000, mesh=mesh)
+                pool, params, kfix=min(31, kmin), seed=seed + 1000, mesh=mesh,
+                ckpt_ns=fix_ns)
         else:
             pool = fixing_rounds_faithful(
-                pool, params, kmax=kmax, seed=seed + 1000, mesh=mesh)
+                pool, params, kmax=kmax, seed=seed + 1000, mesh=mesh,
+                ckpt_ns=fix_ns)
         if workdir:
             ckpt.save_records(workdir, "03fixed", pool)
+            ckpt.clear_partial(workdir, "03partial")
         met.lap("meta/03fixing")
 
     if resume_idx < 4:

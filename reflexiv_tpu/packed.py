@@ -78,6 +78,33 @@ def unpack_seq_matrix(seq: jnp.ndarray, L: int) -> jnp.ndarray:
     return out[:, :L]
 
 
+def pack_seq_matrix_np(bases: np.ndarray) -> np.ndarray:
+    """Host (numpy) :func:`pack_seq_matrix` — same limb layout, no device.
+
+    Used by the blockwise checkpoint writer and the host->packed pool
+    builders so a large byte matrix never has to exist in HBM just to be
+    packed."""
+    N, L = bases.shape
+    LW = limbs_for(L)
+    pad = LW * BASES_PER_LIMB - L
+    if pad:
+        bases = np.pad(bases, ((0, 0), (0, pad)))
+    grp = bases.reshape(N, LW, BASES_PER_LIMB).astype(np.uint32)
+    out = np.zeros((N, LW), dtype=np.uint32)
+    for i in range(BASES_PER_LIMB):
+        out |= grp[:, :, i] << np.uint32(30 - 2 * i)
+    return out
+
+
+def unpack_seq_matrix_np(seq: np.ndarray, L: int) -> np.ndarray:
+    """Host (numpy) :func:`unpack_seq_matrix`."""
+    N, LW = seq.shape
+    out = np.empty((N, LW, BASES_PER_LIMB), np.uint8)
+    for i in range(BASES_PER_LIMB):
+        out[:, :, i] = ((seq >> np.uint32(30 - 2 * i)) & 3).astype(np.uint8)
+    return out.reshape(N, LW * BASES_PER_LIMB)[:, :L]
+
+
 def from_records(recs: Records) -> PackedRecords:
     """Byte records -> packed records (zeroing bases beyond length)."""
     col = jnp.arange(recs.seq_capacity, dtype=jnp.int32)[None, :]

@@ -78,6 +78,59 @@ def to_dyn(p: PackedDynRecords):
     )
 
 
+_HOST_BLOCK_ROWS = 1 << 20
+
+
+def to_dyn_host(p: PackedDynRecords):
+    """Packed pool -> host (numpy) DynRecords WITHOUT materializing the
+    unpacked byte matrix in HBM.
+
+    ``to_dyn`` allocates a device (N, 4*limbs*16) uint8 matrix — at scale
+    (tens of millions of rows after a 10 Mbp+ reduction) that transient is
+    the measured single-chip OOM (round-3 campaign). Here only packed limb
+    blocks cross the device boundary; unpacking happens per-block in numpy.
+    """
+    import numpy as np
+
+    from .dynamic import DynRecords
+    from .packed import unpack_seq_matrix_np
+
+    N = p.capacity
+    L = p.base_capacity
+    seq = np.empty((N, L), np.uint8)
+    for lo in range(0, N, _HOST_BLOCK_ROWS):
+        hi = min(lo + _HOST_BLOCK_ROWS, N)
+        seq[lo:hi] = unpack_seq_matrix_np(np.asarray(p.seq[lo:hi]), L)
+    return DynRecords(
+        seq, np.asarray(p.length), np.asarray(p.subk),
+        np.asarray(p.left), np.asarray(p.right), np.asarray(p.live),
+    )
+
+
+def from_dyn_host(d) -> PackedDynRecords:
+    """Host (numpy) DynRecords -> packed pool on device, packing per-block
+    in numpy so only the 4x-smaller limb matrix is ever uploaded."""
+    import numpy as np
+
+    from .packed import pack_seq_matrix_np
+
+    seq = np.asarray(d.seq)
+    length = np.asarray(d.length)
+    N, L = seq.shape
+    LW = limbs_for(L)
+    packed = np.empty((N, LW), np.uint32)
+    col = np.arange(L)
+    for lo in range(0, N, _HOST_BLOCK_ROWS):
+        hi = min(lo + _HOST_BLOCK_ROWS, N)
+        clean = np.where(col[None, :] < length[lo:hi, None], seq[lo:hi], 0)
+        packed[lo:hi] = pack_seq_matrix_np(clean)
+    return PackedDynRecords(
+        jnp.asarray(packed), jnp.asarray(length),
+        jnp.asarray(np.asarray(d.subk)), jnp.asarray(np.asarray(d.left)),
+        jnp.asarray(np.asarray(d.right)), jnp.asarray(np.asarray(d.live)),
+    )
+
+
 def _limb_mask(nbases: jnp.ndarray, W: int) -> jnp.ndarray:
     """(N, W) uint32 mask covering the first ``nbases`` bases per row."""
     m = jnp.arange(W, dtype=jnp.int32)[None, :]

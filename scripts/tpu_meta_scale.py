@@ -1,5 +1,5 @@
 """Scale proof: meta (dynamic-k) on a large synthetic, on the default
-backend (the real TPU when the tunnel is up) — VERDICT r2 #6.
+backend (the real TPU when the tunnel is up) — VERDICT r2 #6 / r3 #1.
 
 Generates a G-bp random genome, ~COV x read coverage with an error rate,
 writes FASTQ, runs the meta CLI in a subprocess (so a device OOM cannot
@@ -7,9 +7,18 @@ kill the harness), then scores the assembly: N50, total assembled bases,
 and k-mer precision (fraction of contig 31-mers present in the truth
 genome) / recall (fraction of genome 31-mers covered by contigs).
 
+Round-4 discipline (the round-3 campaign lost whole attempts to tunnel
+session starvation): the meta CLI run is a **bounded-attempt resume loop**.
+Every attempt reuses the same -outfile, so the steps/ stage ladder + the
+per-k / per-pair / in-loop partial checkpoints make each attempt strictly
+additive; an attempt that dies (timeout, OOM, tunnel starvation) costs at
+most REFLEXIV_CKPT_EVERY_S seconds of work. The FASTQ is content-keyed and
+cached so retries never regenerate it.
+
 Usage:
-  python scripts/tpu_meta_scale.py --mbp 30 [--cov 30] [--err 0.003]
+  python scripts/tpu_meta_scale.py --mbp 10 [--cov 30] [--err 0.003]
                                    [--klist 23,31,41,53] [--budget-mb 512]
+                                   [--attempt-timeout 3600] [--attempts 8]
 
 Writes /tmp/tpu_meta_scale.json and prints one JSON line per stage.
 """
@@ -33,7 +42,14 @@ def main():
     ap.add_argument("--budget-mb", type=int, default=512,
                     help="out-of-core ingest budget for the counting ladder")
     ap.add_argument("--outdir", default="/tmp/meta_scale_out")
-    ap.add_argument("--timeout", type=int, default=14000)
+    ap.add_argument("--timeout", type=int, default=14000,
+                    help="total wall budget across all attempts")
+    ap.add_argument("--attempt-timeout", type=int, default=3600,
+                    help="per-attempt subprocess timeout")
+    ap.add_argument("--attempts", type=int, default=8,
+                    help="max resume attempts")
+    ap.add_argument("--ckpt-every", type=int, default=240,
+                    help="REFLEXIV_CKPT_EVERY_S for the meta run")
     ap.add_argument("--keep-fastq", action="store_true")
     args = ap.parse_args()
 
@@ -44,54 +60,85 @@ def main():
     genome = rng.integers(0, 4, G, dtype=np.uint8)
     code = np.frombuffer(b"ACGT", np.uint8)
     n_reads = G * args.cov // args.rl
-    fq = os.path.join("/tmp", f"meta_scale_{int(args.mbp)}m.fq")
+    fq = os.path.join(
+        "/tmp",
+        f"meta_scale_{int(args.mbp)}m_c{args.cov}_e{args.err}_l{args.rl}.fq")
     t0 = time.time()
-    with open(fq, "wb") as fh:
-        qual = b"I" * args.rl + b"\n"
-        chunk = 1 << 15
-        for lo in range(0, n_reads, chunk):
-            n = min(chunk, n_reads - lo)
-            starts = rng.integers(0, G - args.rl, n)
-            offs = starts[:, None] + np.arange(args.rl)[None, :]
-            block = genome[offs]
-            errs = rng.random((n, args.rl)) < args.err
-            block = np.where(
-                errs, (block + rng.integers(1, 4, (n, args.rl))) % 4, block
-            ).astype(np.uint8)
-            # half the reads on the reverse strand
-            flip = rng.random(n) < 0.5
-            rc = (block[:, ::-1] ^ 3).astype(np.uint8)
-            block = np.where(flip[:, None], rc, block)
-            rows = []
-            for i in range(n):
-                rows.append(b"@r%d\n" % (lo + i))
-                rows.append(code[block[i]].tobytes() + b"\n+\n")
-                rows.append(qual)
-            fh.write(b"".join(rows))
-    gen_s = time.time() - t0
-    print(json.dumps({
-        "stage": "generated", "genome_bp": G, "reads": n_reads,
-        "fastq_mb": os.path.getsize(fq) >> 20, "gen_s": round(gen_s, 1),
-    }), flush=True)
+    if os.path.exists(fq) and os.path.getsize(fq) > 0:
+        print(json.dumps({"stage": "fastq_cached", "path": fq,
+                          "fastq_mb": os.path.getsize(fq) >> 20}), flush=True)
+    else:
+        tmp_fq = fq + ".tmp"
+        with open(tmp_fq, "wb") as fh:
+            qual = b"I" * args.rl + b"\n"
+            chunk = 1 << 15
+            for lo in range(0, n_reads, chunk):
+                n = min(chunk, n_reads - lo)
+                starts = rng.integers(0, G - args.rl, n)
+                offs = starts[:, None] + np.arange(args.rl)[None, :]
+                block = genome[offs]
+                errs = rng.random((n, args.rl)) < args.err
+                block = np.where(
+                    errs, (block + rng.integers(1, 4, (n, args.rl))) % 4,
+                    block
+                ).astype(np.uint8)
+                # half the reads on the reverse strand
+                flip = rng.random(n) < 0.5
+                rc = (block[:, ::-1] ^ 3).astype(np.uint8)
+                block = np.where(flip[:, None], rc, block)
+                rows = []
+                for i in range(n):
+                    rows.append(b"@r%d\n" % (lo + i))
+                    rows.append(code[block[i]].tobytes() + b"\n+\n")
+                    rows.append(qual)
+                fh.write(b"".join(rows))
+        os.rename(tmp_fq, fq)
+        print(json.dumps({
+            "stage": "generated", "genome_bp": G, "reads": n_reads,
+            "fastq_mb": os.path.getsize(fq) >> 20,
+            "gen_s": round(time.time() - t0, 1),
+        }), flush=True)
 
     env = dict(os.environ,
-               REFLEXIV_INGEST_BUDGET_MB=str(args.budget_mb))
+               REFLEXIV_INGEST_BUDGET_MB=str(args.budget_mb),
+               REFLEXIV_CKPT_EVERY_S=str(args.ckpt_every))
     cmd = [sys.executable, "-m", "reflexiv_tpu.cli", "meta",
            "-fastq", fq, "-outfile", args.outdir,
            "-klist", args.klist, "-cover", "2", "-mincontig", "500"]
-    t0 = time.time()
-    proc = subprocess.run(
-        cmd, env=env, timeout=args.timeout,
-        cwd=os.path.join(os.path.dirname(__file__), ".."),
-        capture_output=True, text=True)
-    wall = time.time() - t0
-    tail = proc.stderr[-1500:] + proc.stdout[-500:]
-    print(json.dumps({"stage": "meta_done", "rc": proc.returncode,
-                      "wall_s": round(wall, 1)}), flush=True)
-    if proc.returncode != 0:
-        print(tail, flush=True)
-        result = {"ok": False, "rc": proc.returncode, "wall_s": wall,
-                  "tail": tail[-800:]}
+    t_all = time.time()
+    attempts_log = []
+    rc = -1
+    for attempt in range(1, args.attempts + 1):
+        left = args.timeout - (time.time() - t_all)
+        if left < 60:
+            print(json.dumps({"stage": "budget_exhausted"}), flush=True)
+            break
+        att_to = min(args.attempt_timeout, left)
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                cmd, env=env, timeout=att_to,
+                cwd=os.path.join(os.path.dirname(__file__), ".."),
+                capture_output=True, text=True)
+            rc = proc.returncode
+            tail = proc.stderr[-1500:] + proc.stdout[-500:]
+        except subprocess.TimeoutExpired as e:
+            rc = -9
+            tail = ((e.stderr or b"")[-1500:].decode("utf8", "replace")
+                    if isinstance(e.stderr, bytes) else (e.stderr or "")[-1500:])
+        wall = time.time() - t0
+        attempts_log.append({"attempt": attempt, "rc": rc,
+                             "wall_s": round(wall, 1)})
+        print(json.dumps({"stage": "meta_attempt", "attempt": attempt,
+                          "rc": rc, "wall_s": round(wall, 1)}), flush=True)
+        if rc == 0:
+            break
+        print(tail[-800:], flush=True)
+        time.sleep(5)   # let a wedged tunnel session settle before resuming
+    wall = time.time() - t_all
+    if rc != 0:
+        result = {"ok": False, "rc": rc, "wall_s": round(wall, 1),
+                  "attempts": attempts_log, "tail": tail[-800:]}
         json.dump(result, open("/tmp/tpu_meta_scale.json", "w"))
         return
 
@@ -147,7 +194,7 @@ def main():
         "ok": True,
         "genome_bp": G, "reads": n_reads, "err_rate": args.err,
         "klist": args.klist, "ingest_budget_mb": args.budget_mb,
-        "wall_s": round(wall, 1),
+        "wall_s": round(wall, 1), "attempts": attempts_log,
         "contigs": len(contigs), "assembled_bp": total, "n50": n50,
         "kmer_precision": round(precision, 5),
         "kmer_recall": round(recall, 5),

@@ -107,6 +107,45 @@ def test_count_from_files_matches_in_memory(tmp_path):
     assert len(counts_s) > 100
 
 
+def test_spill_to_host_table_mode_matches_in_memory(tmp_path, monkeypatch):
+    """With the device-table row limit forced tiny, the running table spills
+    sorted segments to the host every few chunks and the final host merge
+    must reproduce the in-memory table exactly (the >30 Mbp single-chip
+    escape hatch: bounded HBM, bounded host RAM)."""
+    import random
+
+    from reflexiv_tpu.count import (count_kmers, count_kmers_from_files,
+                                    count_kmers_from_files_multi)
+    from reflexiv_tpu.io import load_reads
+
+    rng = random.Random(23)
+    genome = "".join(rng.choice("ACGT") for _ in range(3000))
+    fq = tmp_path / "reads.fq"
+    with open(fq, "w") as fh:
+        for i in range(3000):
+            s = rng.randrange(len(genome) - 70)
+            fh.write(f"@r{i}\n{genome[s:s+70]}\n+\n{'I'*70}\n")
+    monkeypatch.setenv("REFLEXIV_DEVICE_TABLE_ROWS", "1500")
+    limbs_s, counts_s = count_kmers_from_files(
+        str(fq), k=31, min_cov=2, budget_bytes=32 << 10)
+    multi = count_kmers_from_files_multi(
+        str(fq), (21, 31), min_cov=2, budget_bytes=32 << 10)
+    monkeypatch.delenv("REFLEXIV_DEVICE_TABLE_ROWS")
+    mat, lens = load_reads(str(fq))
+
+    def table(L, c):
+        return {tuple(r): int(n) for r, n in zip(L, c)}
+
+    limbs_m, counts_m = count_kmers(mat, lens, k=31, min_cov=2)
+    assert table(limbs_s, counts_s) == table(limbs_m, counts_m)
+    assert table(*multi[31]) == table(limbs_m, counts_m)
+    limbs_21, counts_21 = count_kmers(mat, lens, k=21, min_cov=2)
+    assert table(*multi[21]) == table(limbs_21, counts_21)
+    # the sorted output order must also match (downstream consumers rely
+    # on ascending key order)
+    np.testing.assert_array_equal(limbs_s, limbs_m)
+
+
 def test_multi_k_streaming_matches_per_k(tmp_path):
     """count_kmers_from_files_multi (one pass, all k) must equal the
     per-k streaming tables."""
