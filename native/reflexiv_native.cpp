@@ -11,6 +11,7 @@
 
 #include <zlib.h>
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -556,6 +557,311 @@ extern "C" int64_t rfx_correct(
   int64_t total = 0;
   for (auto v : fixed_per) total += v;
   return total;
+}
+
+// End-window seed index build — the other patching hot spot
+// (reflexiv_tpu.patching._end_index_arrays; the numpy build is
+// concat+lexsort+gather bound). Input is the contigs' raw ASCII bytes
+// concatenated (offsets[n+1]); for every contig the head and tail
+// end_window regions contribute every all-ACGT k-window on both strands.
+// Entries sort by (key, seqno) where seqno encodes (contig, region, j,
+// strand) in the numpy path's exact scan order; a key whose placements
+// disagree on (contig, region) is dropped, otherwise the first placement
+// wins. Returns the kept count (out arrays are written in sorted key
+// order), or -1 when the generated entry count exceeds cap.
+
+namespace {
+
+// (key, seqno) packed into one 128-bit integer: key in the high 64 bits, so
+// a plain u128 compare IS the (key, seqno) lexicographic order — branchless
+// and twice as fast to sort as a two-field struct comparator.
+typedef unsigned __int128 IdxEntry;
+
+inline IdxEntry idx_pack(uint64_t key, uint64_t seqno) {
+  return ((IdxEntry)key << 64) | seqno;
+}
+
+inline bool rfx_is_acgt(uint8_t c) {
+  return c == 'A' || c == 'C' || c == 'G' || c == 'T' || c == 'a' ||
+         c == 'c' || c == 'g' || c == 't';
+}
+
+}  // namespace
+
+extern "C" int64_t rfx_end_index(
+    const uint8_t* ascii, const int64_t* offsets, int64_t n_contigs,
+    int32_t k, int32_t end_window, uint64_t* out_keys, int64_t* out_ci,
+    int8_t* out_end, int64_t* out_pos, int8_t* out_strand, int64_t cap,
+    int32_t n_threads) {
+  if (n_threads <= 0) n_threads = (int32_t)std::thread::hardware_concurrency();
+  if (n_threads <= 0) n_threads = 2;
+  const uint64_t Wg = (uint64_t)(end_window - k + 1);
+  const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+  const int32_t top = 2 * (k - 1);
+
+  // generate entries in parallel over contig ranges
+  std::vector<std::vector<IdxEntry>> per(n_threads);
+  std::vector<std::thread> pool;
+  int64_t span = (n_contigs + n_threads - 1) / n_threads;
+  for (int32_t t = 0; t < n_threads; ++t) {
+    int64_t lo = t * span, hi = std::min(n_contigs, lo + span);
+    if (lo >= hi) break;
+    pool.emplace_back([=, &per]() {
+      std::vector<IdxEntry>& out = per[t];
+      int64_t bound = 0;   // reserve: 2 regions x 2 strands per window
+      for (int64_t c = lo; c < hi; ++c) {
+        const int64_t len = offsets[c + 1] - offsets[c];
+        const int64_t w = len < end_window ? len : end_window;
+        if (w >= k) bound += 4 * (w - k + 1);
+      }
+      out.reserve((size_t)bound);
+      for (int64_t c = lo; c < hi; ++c) {
+        const uint8_t* s = ascii + offsets[c];
+        const int64_t len = offsets[c + 1] - offsets[c];
+        const int64_t w = len < end_window ? len : end_window;
+        if (w < k) continue;
+        for (int region = 0; region < 2; ++region) {
+          const uint8_t* r = region == 0 ? s : s + (len - w);
+          uint64_t fwd = 0, rc = 0;
+          int32_t run = 0;   // ACGT run length ending at current base
+          const uint64_t base_seq =
+              ((uint64_t)c * 2 + region) * (2 * Wg);
+          for (int64_t j = 0; j < w; ++j) {
+            const uint8_t ch = r[j];
+            run = rfx_is_acgt(ch) ? run + 1 : 0;
+            const uint64_t code = kCodes.t[ch];
+            fwd = ((fwd << 2) | code) & mask;
+            rc = (rc >> 2) | ((3ULL ^ code) << top);
+            if (j >= k - 1 && run >= k) {
+              const uint64_t sq = base_seq + (uint64_t)(j - k + 1) * 2;
+              out.push_back(idx_pack(fwd, sq));
+              out.push_back(idx_pack(rc, sq + 1));
+            }
+          }
+        }
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+  pool.clear();
+  int64_t total = 0;
+  for (auto& v : per) total += (int64_t)v.size();
+  if (total > cap) return -1;
+  if (total == 0) return 0;
+  std::vector<IdxEntry> all(total);
+  int64_t at = 0;
+  for (auto& v : per) {
+    std::memcpy(all.data() + at, v.data(), v.size() * sizeof(IdxEntry));
+    at += (int64_t)v.size();
+    v.clear();
+    v.shrink_to_fit();
+  }
+  // 2-way parallel sort + merge (this host has few cores; deeper trees
+  // don't pay)
+  if (n_threads >= 2 && total > (1 << 20)) {
+    int64_t mid = total / 2;
+    std::thread t1([&]() { std::sort(all.begin(), all.begin() + mid); });
+    std::sort(all.begin() + mid, all.end());
+    t1.join();
+    std::inplace_merge(all.begin(), all.begin() + mid, all.end());
+  } else {
+    std::sort(all.begin(), all.end());
+  }
+
+  // group scan: first placement wins; (contig, region)-disagreement kills
+  const uint64_t region_div = 2 * Wg;
+  int64_t kept = 0;
+  int64_t g = 0;
+  while (g < total) {
+    int64_t e = g + 1;
+    const uint64_t key = (uint64_t)(all[g] >> 64);
+    const uint64_t first_cie = ((uint64_t)all[g]) / region_div;
+    bool disagree = false;
+    while (e < total && (uint64_t)(all[e] >> 64) == key) {
+      if (((uint64_t)all[e]) / region_div != first_cie) disagree = true;
+      ++e;
+    }
+    if (!disagree) {
+      const uint64_t sq = (uint64_t)all[g];
+      const int64_t ci = (int64_t)(sq / (2 * region_div));
+      const int region = (int)((sq / region_div) & 1);
+      const int64_t j = (int64_t)((sq % region_div) / 2);
+      const int strand = (int)(sq & 1);
+      const int64_t len = offsets[ci + 1] - offsets[ci];
+      const int64_t w = len < end_window ? len : end_window;
+      const int64_t base = region == 0 ? 0 : len - w;
+      out_keys[kept] = key;
+      out_ci[kept] = ci;
+      out_end[kept] = (int8_t)region;
+      out_pos[kept] = base + j;
+      out_strand[kept] = (int8_t)strand;
+      ++kept;
+    }
+    g = e;
+  }
+  return kept;
+}
+
+// Strided-seed read mapping against a sorted end-window key index — the hot
+// loop of the patching stage (reflexiv_tpu.patching._map_reads_arrays; the
+// reference runs the analogous ReadAndContigPairs scan on every executor,
+// ReflexivDSDynamicKmerPatching.java:2146-2591). For each read: roll the
+// forward 2-bit window value, probe every seed_stride-th window in the
+// sorted key table (lower_bound), first hit wins (early exit — the numpy
+// oracle evaluates all seeds then takes argmax; outputs are identical
+// because both take the FIRST valid hit in seed order). Reads are
+// independent -> parallel over row ranges.
+
+static inline int64_t rfx_lower_bound(const uint64_t* s, int64_t n,
+                                      uint64_t v) {
+  int64_t lo = 0, hi = n;
+  while (lo < hi) {
+    int64_t m = (lo + hi) >> 1;
+    if (s[m] < v) lo = m + 1; else hi = m;
+  }
+  return lo;
+}
+
+namespace {
+
+// One read's strided-seed map against the sorted key index, straight from
+// ASCII bytes (dir=0 forward, dir=1 reverse complement — the numpy oracle
+// maps mate 2 through a reverse-complemented code matrix; iterating the
+// original bytes backwards with complemented codes is the same sequence).
+// N bases code as 'T' forward / 'A' reverse (3 - code), exactly like
+// encode_ascii + revcomp_matrix, but windows containing a non-ACGT byte
+// never seed (the _window_acgt_ok mask). Writes the first valid hit.
+inline void map_one_read(const uint8_t* s, int64_t n, int dir,
+                         const uint64_t* keys, int64_t n_keys,
+                         const int64_t* ici, const int8_t* iend,
+                         const int64_t* ipos, const int8_t* istrand,
+                         int32_t k, int32_t seed_stride, uint64_t mask,
+                         int64_t* o_ci, int8_t* o_end, int64_t* o_pos,
+                         int8_t* o_strand, uint8_t* o_mapped) {
+  *o_ci = 0; *o_end = 0; *o_pos = 0; *o_strand = 0; *o_mapped = 0;
+  if (n < k || n_keys == 0) return;
+  uint64_t v = 0;
+  int32_t run = 0;
+  int32_t next_seed = 0;
+  const int64_t n_win = n - k + 1;
+  for (int64_t j = 0; j < n; ++j) {
+    const uint8_t ch = dir == 0 ? s[j] : s[n - 1 - j];
+    const uint64_t code =
+        dir == 0 ? kCodes.t[ch] : (3ULL ^ kCodes.t[ch]);
+    run = rfx_is_acgt(ch) ? run + 1 : 0;
+    v = ((v << 2) | code) & mask;
+    const int64_t w = j - k + 1;   // window start
+    if (w < 0 || w >= n_win) continue;
+    if (w != next_seed) continue;
+    next_seed += seed_stride;
+    if (run < k) continue;
+    int64_t p = rfx_lower_bound(keys, n_keys, v);
+    if (p >= n_keys || keys[p] != v) continue;
+    *o_ci = ici[p];
+    *o_end = iend[p];
+    *o_pos = istrand[p] == 0 ? ipos[p] - w : ipos[p] + k - 1 + w;
+    *o_strand = istrand[p];
+    *o_mapped = 1;
+    return;
+  }
+}
+
+}  // namespace
+
+// Map both mates of every pair against the end-window index, straight from
+// the pairs' concatenated ASCII bytes (offsets1/offsets2 ragged layout) —
+// no padded matrices, no host-side reverse-complement materialization.
+// Mate 1 maps forward, mate 2 reverse-complemented, matching
+// patch_contigs' numpy front-end exactly.
+extern "C" void rfx_map_pairs(
+    const uint8_t* ascii1, const int64_t* offsets1, const uint8_t* ascii2,
+    const int64_t* offsets2, int64_t n_pairs, const uint64_t* keys,
+    int64_t n_keys, const int64_t* ici, const int8_t* iend,
+    const int64_t* ipos, const int8_t* istrand, int32_t k,
+    int32_t seed_stride, int64_t* c1, int8_t* e1, int64_t* p1, int8_t* s1,
+    uint8_t* m1, int64_t* c2, int8_t* e2, int64_t* p2, int8_t* s2,
+    uint8_t* m2, int32_t n_threads) {
+  if (n_threads <= 0) n_threads = (int32_t)std::thread::hardware_concurrency();
+  if (n_threads <= 0) n_threads = 2;
+  const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+  std::vector<std::thread> pool;
+  int64_t per = (n_pairs + n_threads - 1) / n_threads;
+  for (int32_t t = 0; t < n_threads; ++t) {
+    int64_t lo = t * per, hi = std::min(n_pairs, lo + per);
+    if (lo >= hi) break;
+    pool.emplace_back([=]() {
+      for (int64_t i = lo; i < hi; ++i) {
+        map_one_read(ascii1 + offsets1[i], offsets1[i + 1] - offsets1[i], 0,
+                     keys, n_keys, ici, iend, ipos, istrand, k, seed_stride,
+                     mask, c1 + i, e1 + i, p1 + i, s1 + i, m1 + i);
+        map_one_read(ascii2 + offsets2[i], offsets2[i + 1] - offsets2[i], 1,
+                     keys, n_keys, ici, iend, ipos, istrand, k, seed_stride,
+                     mask, c2 + i, e2 + i, p2 + i, s2 + i, m2 + i);
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
+// Longest exact tail(a)/head(b) overlap in [min_overlap, min(la, lb)]
+// (patching's _try_overlap_join scan, without the per-length Python slice
+// allocations). Returns 0 when none.
+extern "C" int32_t rfx_best_overlap(const uint8_t* a, int64_t la,
+                                    const uint8_t* b, int64_t lb,
+                                    int32_t min_overlap) {
+  int64_t max_o = la < lb ? la : lb;
+  for (int64_t o = max_o; o >= min_overlap; --o) {
+    if (std::memcmp(a + la - o, b, (size_t)o) == 0) return (int32_t)o;
+  }
+  return 0;
+}
+
+extern "C" void rfx_map_seeds(
+    const uint8_t* mat, const int32_t* lens, int64_t n_reads, int64_t stride,
+    const uint64_t* keys, int64_t n_keys, const int64_t* ici,
+    const int8_t* iend, const int64_t* ipos, const int8_t* istrand,
+    int32_t k, int32_t seed_stride, const uint8_t* acgt,
+    int64_t* out_ci, int8_t* out_end, int64_t* out_pos, int8_t* out_strand,
+    uint8_t* out_mapped, int32_t n_threads) {
+  if (n_threads <= 0) n_threads = (int32_t)std::thread::hardware_concurrency();
+  if (n_threads <= 0) n_threads = 2;
+  const int64_t W = stride - k + 1;   // seed grid width (padded-matrix windows)
+  std::vector<std::thread> pool;
+  int64_t per = (n_reads + n_threads - 1) / n_threads;
+  for (int32_t t = 0; t < n_threads; ++t) {
+    int64_t r_lo = t * per, r_hi = std::min(n_reads, r_lo + per);
+    if (r_lo >= r_hi) break;
+    pool.emplace_back([=]() {
+      const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+      for (int64_t i = r_lo; i < r_hi; ++i) {
+        out_ci[i] = 0; out_end[i] = 0; out_pos[i] = 0; out_strand[i] = 0;
+        out_mapped[i] = 0;
+        const int32_t n = lens[i];
+        if (n < k || n_keys == 0 || W <= 0) continue;
+        const uint8_t* read = mat + i * stride;
+        const uint8_t* ac = acgt != nullptr ? acgt + i * W : nullptr;
+        uint64_t v = 0;
+        for (int32_t j = 0; j < k - 1; ++j) v = (v << 2) | read[j];
+        int32_t next_seed = 0;
+        const int32_t n_win = n - k + 1;   // valid == j+k <= n on the grid
+        for (int32_t j = 0; j < n_win; ++j) {
+          v = ((v << 2) | read[j + k - 1]) & mask;
+          if (j != next_seed) continue;
+          next_seed += seed_stride;
+          if (ac != nullptr && !ac[j]) continue;
+          int64_t p = rfx_lower_bound(keys, n_keys, v);
+          if (p >= n_keys || keys[p] != v) continue;
+          out_ci[i] = ici[p];
+          out_end[i] = iend[p];
+          out_pos[i] = istrand[p] == 0 ? ipos[p] - j : ipos[p] + k - 1 + j;
+          out_strand[i] = istrand[p];
+          out_mapped[i] = 1;
+          break;
+        }
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
 }
 
 }  // extern "C"

@@ -101,6 +101,47 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
     ]
+    lib.rfx_end_index.restype = ctypes.c_int64
+    lib.rfx_end_index.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int8), ctypes.c_int64, ctypes.c_int32,
+    ]
+    lib.rfx_map_pairs.restype = None
+    lib.rfx_map_pairs.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int8),
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+    ]
+    lib.rfx_best_overlap.restype = ctypes.c_int32
+    lib.rfx_best_overlap.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
+    ]
+    lib.rfx_map_seeds.restype = None
+    lib.rfx_map_seeds.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int8),
+        ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+    ]
     lib.rfx_merge_pairs.restype = None
     lib.rfx_merge_pairs.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
@@ -347,6 +388,181 @@ def iter_split_chunks(path: str, budget_bytes: int):
             yield codes, lens
 
     return gen()
+
+
+def end_index_native(
+    contigs: List[str], *, k: int, end_window: int, threads: int = 0,
+):
+    """End-window seed index (patching) built in threaded C++.
+
+    Same contents as :func:`reflexiv_tpu.patching._end_index_arrays`
+    (sorted unique keys + aligned ci/end/pos/strand payloads, first
+    placement wins, (contig, end)-ambiguous keys dropped). Returns the
+    five arrays, or None when the native library is unavailable or k > 31.
+    """
+    lib = _get_lib()
+    if lib is None or k > 31 or not hasattr(lib, "rfx_end_index"):
+        return None
+    n = len(contigs)
+    offsets = np.zeros(n + 1, np.int64)
+    for i, s in enumerate(contigs):
+        offsets[i + 1] = offsets[i] + len(s)
+    ascii_cat = np.frombuffer(
+        "".join(contigs).encode("latin-1"), np.uint8)
+    cap = 0
+    for s in contigs:
+        w = min(end_window, len(s))
+        if w >= k:
+            cap += 4 * (w - k + 1)   # 2 regions x 2 strands
+    cap = max(cap, 1)
+    keys = np.empty(cap, np.uint64)
+    ci = np.empty(cap, np.int64)
+    end = np.empty(cap, np.int8)
+    pos = np.empty(cap, np.int64)
+    strand = np.empty(cap, np.int8)
+    got = lib.rfx_end_index(
+        ascii_cat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, k, end_window,
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ci.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        end.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        strand.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        cap, threads or _N_THREADS,
+    )
+    if got < 0:
+        return None
+    # views, not copies: the cap overshoot is small (dedup only) and the
+    # copy of ~got*26 bytes costs seconds at the 100M-entry scale
+    return keys[:got], ci[:got], end[:got], pos[:got], strand[:got]
+
+
+def map_pairs_native(
+    pairs, keys: np.ndarray, ci: np.ndarray, end: np.ndarray,
+    pos: np.ndarray, strand: np.ndarray, *, k: int, stride: int,
+    threads: int = 0,
+):
+    """Map both mates of every pair against the end-window index (C++),
+    straight from the pair strings — no padded matrices, no host
+    reverse-complement materialization. Mate 1 forward, mate 2 reverse
+    complement; identical outputs to patch_contigs' numpy mapping
+    front-end. Returns (c1, e1, p1, s1, ok1, c2, e2, p2, s2, ok2),
+    or None when the native library is unavailable or k > 31.
+    """
+    lib = _get_lib()
+    if lib is None or k > 31 or not hasattr(lib, "rfx_map_pairs"):
+        return None
+    n = len(pairs)
+    off1 = np.zeros(n + 1, np.int64)
+    off2 = np.zeros(n + 1, np.int64)
+    for i, (r1, r2) in enumerate(pairs):
+        off1[i + 1] = off1[i] + len(r1)
+        off2[i + 1] = off2[i] + len(r2)
+    a1 = np.frombuffer(
+        "".join(r1 for r1, _ in pairs).encode("latin-1"), np.uint8)
+    a2 = np.frombuffer(
+        "".join(r2 for _, r2 in pairs).encode("latin-1"), np.uint8)
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    ci64 = np.ascontiguousarray(ci, dtype=np.int64)
+    end8 = np.ascontiguousarray(end, dtype=np.int8)
+    pos64 = np.ascontiguousarray(pos, dtype=np.int64)
+    strand8 = np.ascontiguousarray(strand, dtype=np.int8)
+    outs = [np.zeros(n, dt) for dt in
+            (np.int64, np.int8, np.int64, np.int8, np.uint8,
+             np.int64, np.int8, np.int64, np.int8, np.uint8)]
+    P = ctypes.POINTER
+
+    def ptr(a, ct):
+        return a.ctypes.data_as(P(ct))
+
+    lib.rfx_map_pairs(
+        ptr(a1, ctypes.c_uint8), ptr(off1, ctypes.c_int64),
+        ptr(a2, ctypes.c_uint8), ptr(off2, ctypes.c_int64), n,
+        ptr(keys, ctypes.c_uint64), len(keys),
+        ptr(ci64, ctypes.c_int64), ptr(end8, ctypes.c_int8),
+        ptr(pos64, ctypes.c_int64), ptr(strand8, ctypes.c_int8),
+        k, stride,
+        ptr(outs[0], ctypes.c_int64), ptr(outs[1], ctypes.c_int8),
+        ptr(outs[2], ctypes.c_int64), ptr(outs[3], ctypes.c_int8),
+        ptr(outs[4], ctypes.c_uint8),
+        ptr(outs[5], ctypes.c_int64), ptr(outs[6], ctypes.c_int8),
+        ptr(outs[7], ctypes.c_int64), ptr(outs[8], ctypes.c_int8),
+        ptr(outs[9], ctypes.c_uint8),
+        threads or _N_THREADS,
+    )
+    outs[4] = outs[4].astype(bool)
+    outs[9] = outs[9].astype(bool)
+    return tuple(outs)
+
+
+def best_overlap_native(a: bytes, b: bytes, min_overlap: int):
+    """Longest exact tail(a)/head(b) overlap (0 = none); None when the
+    native library is unavailable."""
+    lib = _get_lib()
+    if lib is None or not hasattr(lib, "rfx_best_overlap"):
+        return None
+    aa = np.frombuffer(a, np.uint8)
+    bb = np.frombuffer(b, np.uint8)
+    return int(lib.rfx_best_overlap(
+        aa.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(aa),
+        bb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(bb),
+        min_overlap))
+
+
+def map_seeds_native(
+    mat: np.ndarray, lens: np.ndarray, keys: np.ndarray,
+    ci: np.ndarray, end: np.ndarray, pos: np.ndarray, strand: np.ndarray,
+    *, k: int, stride: int, acgt_ok: np.ndarray = None, threads: int = 0,
+):
+    """Strided-seed read mapping (patching hot loop) in threaded C++.
+
+    Same outputs as the numpy body of
+    :func:`reflexiv_tpu.patching._map_reads_arrays` (first valid seed hit
+    per read against the sorted end-window key index). Returns
+    ``(ci, end, pos5, strand, mapped)`` arrays, or None when the native
+    library is unavailable or k > 31.
+    """
+    lib = _get_lib()
+    if lib is None or k > 31 or not hasattr(lib, "rfx_map_seeds"):
+        return None
+    mat = np.ascontiguousarray(mat, dtype=np.uint8)
+    lens32 = np.ascontiguousarray(lens, dtype=np.int32)
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    ci64 = np.ascontiguousarray(ci, dtype=np.int64)
+    end8 = np.ascontiguousarray(end, dtype=np.int8)
+    pos64 = np.ascontiguousarray(pos, dtype=np.int64)
+    strand8 = np.ascontiguousarray(strand, dtype=np.int8)
+    R, L = mat.shape
+    ap = None
+    if acgt_ok is not None:
+        W = L - k + 1
+        acgt_ok = np.ascontiguousarray(acgt_ok, dtype=np.uint8)
+        assert acgt_ok.shape == (R, W), (acgt_ok.shape, (R, W))
+        ap = acgt_ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    out_ci = np.zeros(R, np.int64)
+    out_end = np.zeros(R, np.int8)
+    out_pos = np.zeros(R, np.int64)
+    out_strand = np.zeros(R, np.int8)
+    mapped = np.zeros(R, np.uint8)
+    lib.rfx_map_seeds(
+        mat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lens32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        R, L,
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(keys),
+        ci64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        end8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        pos64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        strand8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        k, stride, ap,
+        out_ci.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_end.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        out_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_strand.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        mapped.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        threads or _N_THREADS,
+    )
+    return out_ci, out_end, out_pos, out_strand, mapped.astype(bool)
 
 
 def correct_reads_native(

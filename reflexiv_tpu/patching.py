@@ -148,12 +148,29 @@ def _end_index_arrays(
     """Array equivalent of :func:`_end_index`, including its exact dedup
     rule: a key whose placements disagree on (contig, end) is dropped; the
     first placement in scan order (contig asc, head-then-tail, position asc,
-    forward-then-rc) wins otherwise."""
+    forward-then-rc) wins otherwise.
+
+    The build is concat+lexsort+gather bound in numpy, so the threaded C++
+    ``rfx_end_index`` is the default backend (identical contents); this
+    numpy body is the oracle (forced by ``REFLEXIV_DEVICE_STAGES=0`` or
+    ``REFLEXIV_NATIVE_PATCH=0``).
+    """
     from .bitpack import encode_ascii
 
     C = len(contigs)
     if C == 0:
         return None
+    if (os.environ.get("REFLEXIV_NATIVE_PATCH", "1") != "0"
+            and os.environ.get("REFLEXIV_DEVICE_STAGES") != "0"
+            and k <= 31):
+        from . import native
+
+        out = native.end_index_native(contigs, k=k, end_window=END_WINDOW)
+        if out is not None:
+            keys, ci, end, pos, strand = out
+            if not len(keys):
+                return None
+            return _EndIndexArrays(keys, ci, end, pos, strand)
     w_all = [min(END_WINDOW, len(s)) for s in contigs]
     regions = (
         ([contigs[i][: w_all[i]] for i in range(C)],
@@ -338,8 +355,9 @@ def _map_reads_arrays(
     orientation — N-bearing seeds never match (the string path's behavior).
     Returns (ci, end, pos5, strand, mapped) arrays over all reads.
 
-    Dispatches to :func:`_map_reads_arrays_device` unless
-    ``REFLEXIV_DEVICE_STAGES=0`` (this numpy body is the oracle).
+    Backend order mirrors correction (device > native > numpy): the device
+    kernel only when the patching stage's evidence-driven default enables
+    it, then the threaded C++ ``rfx_map_seeds``, then this numpy oracle.
     """
     from .device_aux import device_stage_default
 
@@ -347,6 +365,16 @@ def _map_reads_arrays(
         return _map_reads_arrays_device(
             mat, lens, idx, k=k, stride=stride, chunk=chunk,
             acgt_ok=acgt_ok)
+    if (os.environ.get("REFLEXIV_NATIVE_PATCH", "1") != "0"
+            and os.environ.get("REFLEXIV_DEVICE_STAGES") != "0"
+            and idx is not None and len(idx.keys) and mat.shape[1] >= k):
+        from . import native
+
+        out = native.map_seeds_native(
+            mat, lens, idx.keys, idx.ci, idx.end, idx.pos, idx.strand,
+            k=k, stride=stride, acgt_ok=acgt_ok)
+        if out is not None:
+            return out
     R, L = mat.shape
     out_ci = np.zeros(R, np.int64)
     out_end = np.zeros(R, np.int8)
@@ -384,7 +412,16 @@ def _map_reads_arrays(
 
 
 def _try_overlap_join(a: str, b: str, min_overlap: int) -> Optional[str]:
-    """Join a's tail to b's head on the longest exact overlap."""
+    """Join a's tail to b's head on the longest exact overlap (native
+    memcmp scan when available — same result, no per-length slice
+    allocations; shared by the batched and scalar paths, so parity between
+    them is unaffected by the backend)."""
+    if os.environ.get("REFLEXIV_NATIVE_PATCH", "1") != "0":
+        from . import native
+
+        o = native.best_overlap_native(a.encode(), b.encode(), min_overlap)
+        if o is not None:
+            return a + b[o:] if o else None
     max_o = min(len(a), len(b))
     for o in range(max_o, min_overlap - 1, -1):
         if a[-o:] == b[:o]:
@@ -470,26 +507,45 @@ def patch_contigs(
     joined through a run of ``max(gap_estimate, MIN_GAP_N)`` Ns.
     """
     from .bitpack import encode_ascii
+    from .device_aux import device_stage_default
 
     idx = _end_index_arrays(contigs)
-    a1, l1 = _ascii_matrix([r1 for r1, _ in pairs])
-    a2, l2 = _ascii_matrix([r2 for _, r2 in pairs])
-    m1, m2 = encode_ascii(a1), encode_ascii(a2)
-    c1, _e1, p1, s1, ok1 = _map_reads_arrays(
-        m1, l1, idx, acgt_ok=_window_acgt_ok(a1, SEED_K))
-    # r2 maps in reverse complement; ACGT-ness is complement-invariant so
-    # the mask is the row-reversed one
-    a2r = np.zeros_like(a2)
-    if a2.shape[1]:
-        col = l2[:, None].astype(np.int64) - 1 - np.arange(a2.shape[1])
-        okc = col >= 0
-        a2r = np.where(
-            okc, a2[np.arange(len(l2))[:, None], np.clip(col, 0, None)], 0
-        ).astype(np.uint8)
-    c2, _e2, p2, s2, ok2 = _map_reads_arrays(
-        _rc_matrix(m2, l2), l2, idx, acgt_ok=_window_acgt_ok(a2r, SEED_K))
+    mapped = None
+    if (idx is not None
+            and not device_stage_default("patching")
+            and os.environ.get("REFLEXIV_NATIVE_PATCH", "1") != "0"
+            and os.environ.get("REFLEXIV_DEVICE_STAGES") != "0"):
+        # whole-pair native mapping: skips the padded matrices, masks and
+        # host reverse-complement entirely (identical outputs)
+        from . import native
+
+        mapped = native.map_pairs_native(
+            pairs, idx.keys, idx.ci, idx.end, idx.pos, idx.strand,
+            k=SEED_K, stride=7)
+    if mapped is not None:
+        c1, _e1, p1, s1, ok1, c2, _e2, p2, s2, ok2 = mapped
+        len2 = np.fromiter(
+            (len(r2) for _, r2 in pairs), np.int64, count=len(pairs))
+    else:
+        a1, l1 = _ascii_matrix([r1 for r1, _ in pairs])
+        a2, l2 = _ascii_matrix([r2 for _, r2 in pairs])
+        m1, m2 = encode_ascii(a1), encode_ascii(a2)
+        c1, _e1, p1, s1, ok1 = _map_reads_arrays(
+            m1, l1, idx, acgt_ok=_window_acgt_ok(a1, SEED_K))
+        # r2 maps in reverse complement; ACGT-ness is complement-invariant
+        # so the mask is the row-reversed one
+        a2r = np.zeros_like(a2)
+        if a2.shape[1]:
+            col = l2[:, None].astype(np.int64) - 1 - np.arange(a2.shape[1])
+            okc = col >= 0
+            a2r = np.where(
+                okc, a2[np.arange(len(l2))[:, None], np.clip(col, 0, None)],
+                0,
+            ).astype(np.uint8)
+        c2, _e2, p2, s2, ok2 = _map_reads_arrays(
+            _rc_matrix(m2, l2), l2, idx, acgt_ok=_window_acgt_ok(a2r, SEED_K))
+        len2 = l2.astype(np.int64)
     ok = ok1 & ok2
-    len2 = l2.astype(np.int64)
 
     # same-contig, strand-consistent pairs observe the insert size
     sm = ok & (c1 == c2) & (s1 == s2)

@@ -204,3 +204,80 @@ def test_device_mapping_matches_numpy(monkeypatch):
     want = patch_contigs(contigs, pairs)         # numpy oracle
     assert got == want
     assert len(got[1]) >= 2
+
+
+def test_native_mapping_matches_numpy(monkeypatch):
+    """The threaded C++ rfx_map_seeds backend must reproduce the numpy
+    _map_reads_arrays exactly, end to end through patch_contigs (same
+    case shape as the device-parity test, plus N-bearing reads so the
+    acgt window mask is exercised through the native path)."""
+    from reflexiv_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = random.Random(31)
+    genome = "".join(rng.choice("ACGT") for _ in range(8000))
+    cuts = [0, 1500, 3200, 4700, 6300, 8000]
+    contigs = []
+    for i in range(len(cuts) - 1):
+        c = genome[max(0, cuts[i] - 15): cuts[i + 1]]
+        if i % 2:
+            c = oracle.revcomp(c)
+        contigs.append(c)
+    pairs = _pairs_from(genome, rng, n=1500, insert=280, rl=80)
+    for _ in range(50):  # junk pairs
+        pairs.append((
+            "".join(rng.choice("ACGT") for _ in range(80)),
+            "".join(rng.choice("ACGT") for _ in range(80)),
+        ))
+    pairs.append(("N" * 80, "N" * 80))
+    pairs.append(("T" * 80, "T" * 40 + "N" + "T" * 39))
+    monkeypatch.delenv("REFLEXIV_DEVICE_STAGES", raising=False)
+    monkeypatch.setenv("REFLEXIV_NATIVE_PATCH", "1")
+    got = patch_contigs(contigs, pairs)          # native C++ backend
+    monkeypatch.setenv("REFLEXIV_DEVICE_STAGES", "0")
+    want = patch_contigs(contigs, pairs)         # pure numpy oracle
+    assert got == want
+    assert len(got[1]) >= 2
+
+
+def test_native_end_index_matches_numpy(monkeypatch):
+    """rfx_end_index must produce the exact numpy _end_index_arrays
+    contents (keys, payloads, dedup rule) on contigs with shared ends,
+    N runs, short contigs, and lowercase bases."""
+    from reflexiv_tpu import native
+    from reflexiv_tpu.patching import _end_index_arrays
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = random.Random(37)
+    genome = "".join(rng.choice("ACGT") for _ in range(6000))
+    contigs = [
+        genome[:700],
+        genome[650:1500],
+        genome[1400:2500].lower(),            # lowercase path
+        genome[:40],                          # shorter than k=31 window set
+        genome[:20],                          # shorter than k
+        genome[2400:3000] + "N" * 15 + genome[3100:3600],   # N windows
+        genome[:700],                         # exact duplicate -> ambiguous
+        oracle.revcomp(genome[3500:4400]),
+    ]
+    monkeypatch.delenv("REFLEXIV_DEVICE_STAGES", raising=False)
+    monkeypatch.setenv("REFLEXIV_NATIVE_PATCH", "1")
+    got = _end_index_arrays(contigs)
+    monkeypatch.setenv("REFLEXIV_NATIVE_PATCH", "0")
+    want = _end_index_arrays(contigs)
+    assert (got is None) == (want is None)
+    if got is not None:
+        import numpy as np
+
+        np.testing.assert_array_equal(got.keys, want.keys)
+        np.testing.assert_array_equal(got.ci, want.ci)
+        np.testing.assert_array_equal(got.end, want.end)
+        np.testing.assert_array_equal(got.pos, want.pos)
+        np.testing.assert_array_equal(got.strand, want.strand)
+        assert len(got.keys) > 100
