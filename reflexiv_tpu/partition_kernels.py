@@ -1,0 +1,251 @@
+"""Pallas probes for the 8-bit partition ("radix") counting design.
+
+VERDICT r3 #5: the round-3 retraction of the radix-sort roofline rested on
+one data point (the hierarchical bitonic measuring 0.61x XLA). The open
+question was whether Mosaic's documented dynamic-offset static-size DMA
+(``ref.at[pl.ds(off, SIZE)]`` + ``pltpu.make_async_copy``) makes the
+partition exchange fast enough to change the verdict. This module holds the
+two previously-unmeasured primitives as compact kernels, plus the full
+padded partition pass they would compose into:
+
+* :func:`padded_exchange` — the padded run-copy partition exchange: block b
+  holds its digit-d elements contiguously (block-grouped input); each (b, d)
+  run is DMA'd HBM->HBM into a padded static slot ``(d*nb + b) * maxrun``.
+  Destinations never overlap (padded slots), so a ring of in-flight DMAs
+  runs at full async depth. This is the exchange the round-3 analysis
+  called "expressible but unmeasured" (ROADMAP r3 notes).
+* :func:`element_gather_probe` — per-element dynamic-offset loads
+  (row-at-a-time ``pl.ds(idx, 1)`` DMA), the primitive the arithmetic
+  "gather form" of a radix pass would need per element.
+
+Composition arithmetic (why these two numbers settle the design): a
+partition pass = block grouping + exchange; grouping is a per-element
+permutation, whose cheapest measured Mosaic form is the VMEM bitonic local
+sort (32 ms at 2^24, TPU_ROUND3_evidence sort_components_24) — already 56%
+of the 57 ms XLA kill line — and partition-then-count must then group
+AGAIN inside each padded bucket (>= 2x the data after padding). So the
+pass only becomes interesting if one of THESE primitives is so fast that a
+grouping-free formulation exists. The probes give that number either way.
+
+Reference: the partition replaces the Spark hash shuffle of
+``groupBy("value").count()`` (``ReflexivDataFrameCounter.java:198-209``).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N_DIGITS = 256
+_RING = 8     # in-flight DMA depth for the exchange
+
+
+def _exchange_kernel_factory(nb: int, block: int, maxrun: int):
+    """One grid step = one source block; an inner loop DMAs its 256 digit
+    runs (hi and lo slices) into their padded bucket slots. A semaphore
+    ring of ``_RING`` keeps that many runs in flight across the loop AND
+    across grid steps; destinations are disjoint padded slots, so
+    completion order is free."""
+    n_steps = nb * N_DIGITS
+
+    def make_dmas(starts_ref, hi_ref, lo_ref, ohi_ref, olo_ref, sems, step):
+        b = step // N_DIGITS
+        d = step % N_DIGITS
+        lstart = starts_ref[step]
+        src = b * block + lstart
+        dst = (d * nb + b) * maxrun
+        slot = step % _RING
+        dma_hi = pltpu.make_async_copy(
+            hi_ref.at[pl.ds(src, maxrun)],
+            ohi_ref.at[pl.ds(dst, maxrun)],
+            sems.at[slot, 0],
+        )
+        dma_lo = pltpu.make_async_copy(
+            lo_ref.at[pl.ds(src, maxrun)],
+            olo_ref.at[pl.ds(dst, maxrun)],
+            sems.at[slot, 1],
+        )
+        return dma_hi, dma_lo
+
+    def kernel(starts_ref, hi_ref, lo_ref, ohi_ref, olo_ref, sems):
+        b = pl.program_id(0)
+
+        def body(d, _):
+            step = b * N_DIGITS + d
+
+            # retire the DMA that used this ring slot _RING steps ago
+            @pl.when(step >= _RING)
+            def _():
+                h, l = make_dmas(starts_ref, hi_ref, lo_ref, ohi_ref,
+                                 olo_ref, sems, step - _RING)
+                h.wait()
+                l.wait()
+
+            h, l = make_dmas(starts_ref, hi_ref, lo_ref, ohi_ref, olo_ref,
+                             sems, step)
+            h.start()
+            l.start()
+
+            # drain: the final step waits for the last _RING starts
+            @pl.when(step == n_steps - 1)
+            def _():
+                def drain(k, _):
+                    h, l = make_dmas(starts_ref, hi_ref, lo_ref, ohi_ref,
+                                     olo_ref, sems, n_steps - 1 - k)
+                    h.wait()
+                    l.wait()
+                    return 0
+
+                jax.lax.fori_loop(0, min(_RING, n_steps), drain, 0)
+
+            return 0
+
+        jax.lax.fori_loop(0, N_DIGITS, body, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "maxrun", "interpret"))
+def padded_exchange(
+    hi_g: jnp.ndarray, lo_g: jnp.ndarray, starts: jnp.ndarray,
+    *, block: int, maxrun: int, interpret: bool = False,
+):
+    """Padded run-copy partition exchange.
+
+    ``hi_g``/``lo_g``: (nb*block + maxrun,) uint32, block-grouped (each
+    ``block``-sized chunk holds its elements grouped — e.g. sorted — by the
+    8-bit digit), with ``maxrun`` slack elements appended so the final
+    run's static-size over-read stays in bounds. ``starts``: (nb*256,)
+    int32, each (b, d) run's start offset within its block (monotone per
+    block; run length = next start - start, assumed <= maxrun by the
+    caller's maxrun choice).
+
+    Returns (out_hi, out_lo) of shape (256*nb*maxrun,): run (b, d) lands at
+    ``(d*nb + b)*maxrun``; slots are padded with whatever trailed the run
+    in its source block (callers mask via the run-length table).
+    """
+    total = hi_g.shape[0] - maxrun
+    nb = total // block
+    n_steps = nb * N_DIGITS
+    out_shape = N_DIGITS * nb * maxrun
+    del n_steps
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((_RING, 2))],
+    )
+    return pl.pallas_call(
+        _exchange_kernel_factory(nb, block, maxrun),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((out_shape,), jnp.uint32),
+            jax.ShapeDtypeStruct((out_shape,), jnp.uint32),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(starts, hi_g, lo_g)
+
+
+def group_blocks_xla(hi, lo, *, block: int, shift: int):
+    """Reference block-grouping + run-start table (XLA, for the probe and
+    the interpret tests): sorts each ``block``-sized chunk by (digit, key)
+    and returns (hi_g, lo_g with ``maxrun`` slack appended by the caller,
+    starts (nb*256,) int32)."""
+    N = hi.shape[0]
+    nb = N // block
+    h2 = hi.reshape(nb, block)
+    l2 = lo.reshape(nb, block)
+    sh, sl = jax.vmap(
+        lambda a, b: jax.lax.sort((a, b), num_keys=2))(h2, l2)
+    digits = ((sh >> shift) & 0xFF).astype(jnp.uint32)
+    bins = (jnp.arange(N_DIGITS, dtype=jnp.uint32))[None, :]
+    starts = jax.vmap(
+        lambda dg: jnp.searchsorted(dg, bins[0], side="left"))(digits)
+    return sh.reshape(-1), sl.reshape(-1), starts.reshape(-1).astype(jnp.int32)
+
+
+def compact_buckets_np(out_hi, out_lo, starts, *, nb, block, maxrun):
+    """Host-side validation helper: drop the pad tails of every (d, b) slot
+    and concatenate buckets in digit order."""
+    import numpy as np
+
+    starts = np.asarray(starts).reshape(nb, N_DIGITS)
+    ends = np.concatenate(
+        [starts[:, 1:], np.full((nb, 1), block, np.int32)], axis=1)
+    lens = ends - starts
+    hi_parts, lo_parts = [], []
+    oh = np.asarray(out_hi)
+    ol = np.asarray(out_lo)
+    for d in range(N_DIGITS):
+        for b in range(nb):
+            at = (d * nb + b) * maxrun
+            n = int(lens[b, d])
+            hi_parts.append(oh[at: at + n])
+            lo_parts.append(ol[at: at + n])
+    return np.concatenate(hi_parts), np.concatenate(lo_parts)
+
+
+def _gather_kernel_factory(n: int, chunk_rows: int):
+    """Per-element dynamic-offset loads: out[i] = src[idx[i]] via one
+    1-element DMA per element — the "arithmetic gather" form's primitive."""
+
+    def kernel(idx_ref, src_ref, out_ref, buf, sem):
+        def body(i, _):
+            pltpu.make_async_copy(
+                src_ref.at[pl.ds(idx_ref[i], 1)],
+                buf.at[pl.ds(i % chunk_rows, 1)],
+                sem,
+            ).start()
+            pltpu.make_async_copy(
+                src_ref.at[pl.ds(idx_ref[i], 1)],
+                buf.at[pl.ds(i % chunk_rows, 1)],
+                sem,
+            ).wait()
+
+            @pl.when((i % chunk_rows) == chunk_rows - 1)
+            def _():
+                out_ref[pl.ds(i - (chunk_rows - 1), chunk_rows)] = buf[:]
+
+            return 0
+
+        jax.lax.fori_loop(0, n, body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def element_gather_probe(src, idx, *, interpret: bool = False):
+    """out[i] = src[idx[i]] with per-element DMA; measures the per-element
+    dynamic-offset load rate (ns/element) that any gather-form radix pass
+    would pay 16.8M times per pass."""
+    n = idx.shape[0]
+    chunk = 256
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((chunk,), jnp.uint32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        _gather_kernel_factory(n, chunk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n,), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(idx.astype(jnp.int32), src)
