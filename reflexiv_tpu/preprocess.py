@@ -283,7 +283,46 @@ def _device_fns():
             fix_base = jnp.where(cand, jnp.uint8(b), fix_base)
         return ok_count, fix_base
 
-    _DEVICE_FNS.update(weak_mask=weak_mask, candidate_eval=candidate_eval)
+    @functools.partial(jax.jit, static_argnames=("k", "cap", "use_quals"))
+    def fix_round(dmat, lens, attempted, limbs, counts, quals, trust,
+                  k, cap, use_quals):
+        """One whole correction dispatch: weak scan + candidate selection
+        (static ``cap``) + 4-substitution evaluation + in-place unique-fix
+        application, entirely on-device. Only three scalars return to the
+        host (VERDICT r3 #4 — the chunked form paid a host round trip per
+        2^16 candidates through the remote tunnel).
+
+        ``attempted`` rotates the selection window: positions already
+        attempted this round are skipped, so a weak set larger than ``cap``
+        cannot starve its tail behind unfixable positions. Candidates in
+        one dispatch are evaluated against the same pre-dispatch matrix —
+        identical to the chunked oracle whenever one chunk would have held
+        them all (the tested regime); interacting candidates further apart
+        converge over the outer rounds exactly like the oracle's.
+        """
+        R, L = dmat.shape
+        weak = weak_mask(dmat, lens, limbs, counts, k=k)
+        if use_quals:
+            weak = weak & (quals < trust)
+        weak = weak & ~attempted
+        flat = weak.reshape(-1)
+        sel = jnp.nonzero(flat, size=cap, fill_value=-1)[0]
+        cvalid = sel >= 0
+        safe = jnp.maximum(sel, 0).astype(jnp.int32)
+        ic = safe // jnp.int32(L)
+        pc = safe % jnp.int32(L)
+        ok_count, fix_base = candidate_eval(
+            dmat, lens, ic, pc, cvalid, limbs, counts, k=k)
+        unique = (ok_count == 1) & cvalid
+        cur = dmat[ic, pc]
+        dmat = dmat.at[ic, pc].set(jnp.where(unique, fix_base, cur))
+        attempted = attempted.reshape(-1).at[safe].set(
+            attempted.reshape(-1)[safe] | cvalid).reshape(R, L)
+        return (dmat, attempted, jnp.sum(unique),
+                jnp.sum(cvalid), jnp.sum(flat))
+
+    _DEVICE_FNS.update(weak_mask=weak_mask, candidate_eval=candidate_eval,
+                       fix_round=fix_round)
     return _DEVICE_FNS
 
 
@@ -353,6 +392,33 @@ def correct_reads_device(
     limbs_j = jnp.asarray(limbs)
     counts_j = jnp.asarray(counts)
     n_fixed = 0
+    if os.environ.get("REFLEXIV_SINGLE_DISPATCH", "1") != "0":
+        # single padded dispatch per round (VERDICT r3 #4): selection,
+        # evaluation and fix application stay on-device; the host sees
+        # three scalars per dispatch instead of a 100 MB weak mask + a
+        # round trip per 2^16 candidates
+        fns = _device_fns()
+        R, L = mat.shape
+        cap = min(int(os.environ.get("REFLEXIV_DISPATCH_CAP", 1 << 20)),
+                  _next_pow2(R * L))
+        use_quals = quals is not None and trust_qual > 0
+        quals_j = (jnp.asarray(quals) if use_quals
+                   else jnp.zeros((1, 1), jnp.uint8))
+        attempted = jnp.zeros((R, L), bool)
+        for _ in range(max_rounds):
+            round_fixed = 0
+            while True:
+                dmat, attempted, got, n_sel, _n_weak = fns["fix_round"](
+                    dmat, lens_j, attempted, limbs_j, counts_j,
+                    quals_j, trust_qual, k=k, cap=cap, use_quals=use_quals)
+                round_fixed += int(got)
+                if int(n_sel) < cap:
+                    break
+            n_fixed += round_fixed
+            if round_fixed == 0:
+                break
+            attempted = jnp.zeros((R, L), bool)
+        return np.asarray(dmat), n_fixed
     for _ in range(max_rounds):
         got, _rows, dmat = _fix_pass_device(
             dmat, lens_j, k, limbs_j, counts_j,

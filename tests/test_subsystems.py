@@ -469,3 +469,31 @@ def test_quality_gate_flips_correction_outcome():
         os.environ.pop("REFLEXIV_DEVICE_STAGES")
     assert np.array_equal(oracle_out, qual_aware)
     assert n_o == n_q
+
+
+def test_error_correction_single_dispatch_cap_rotation(monkeypatch):
+    """A dispatch cap smaller than the weak set must rotate through every
+    weak position (the attempted mask) and still land the oracle's fixes —
+    the single-dispatch device form cannot starve the tail behind
+    unfixable positions."""
+    import numpy as np
+
+    from reflexiv_tpu.preprocess import correct_reads, correct_reads_device
+
+    rng = random.Random(47)
+    genome = "".join(rng.choice("ACGT") for _ in range(1500))
+    reads = _sim_reads(rng, genome, 80, 400, rc=True)
+    for i in range(0, len(reads), 3):   # dense, isolated errors
+        bad = list(reads[i])
+        p = rng.randrange(5, len(bad) - 5)
+        bad[p] = next(c for c in "ACGT" if c != bad[p])
+        reads[i] = "".join(bad)
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    monkeypatch.setenv("REFLEXIV_DISPATCH_CAP", "64")
+    got, n_got = correct_reads_device(mat, lens, k=21, min_cov=3)
+    monkeypatch.delenv("REFLEXIV_DISPATCH_CAP")
+    monkeypatch.setenv("REFLEXIV_DEVICE_STAGES", "0")
+    want, n_want = correct_reads(mat, lens, k=21, min_cov=3)
+    assert n_got >= 10
+    assert n_got == n_want
+    assert np.array_equal(got, want)
