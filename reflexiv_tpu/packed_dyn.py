@@ -216,6 +216,7 @@ def _pdyn_round_impl(
     keys = extract_window(p.seq, jnp.maximum(key_start, 0), gw)
     keys = jnp.where(p.live[:, None], keys, jnp.uint32(0xFFFFFFFF))
     Wp = keys.shape[1]
+    SW = limbs_for(max_sub)
     # marker is a sort key (after the group key): forward rows lead their
     # segment, matching the byte oracle's tiebreak and enabling the
     # gather-free segmented-fill join below
@@ -223,16 +224,31 @@ def _pdyn_round_impl(
         # variadic stable sort moves every column directly; the
         # lexsort+gather form pays ~7 row-gathers at the TPU's ~0.5 GB/s
         # XLA gather floor (see packed.extension_round_packed)
+        if partner_fill:
+            # the prefix comparison needs each reflected partner's tail
+            # sub-kmer window; extracting it BEFORE the sort and carrying
+            # it as SW payload columns replaces a post-fill
+            # extract_window over the full LW-wide filled sequence
+            # (4*LW selects per row) with SW sort+fill columns —
+            # identical values, and the cost no longer grows with record
+            # length
+            tailw = extract_window(
+                p.seq, jnp.maximum(p.length - p.subk, 0), max_sub)
+            tail_cols = tuple(tailw[:, i] for i in range(SW))
+        else:
+            tail_cols = ()
         ops = jax.lax.sort(
             tuple(keys[:, i] for i in range(Wp)) + (marker,)
             + tuple(p.seq[:, i] for i in range(LW))
-            + (p.length, p.subk, p.left, p.right, p.live),
+            + (p.length, p.subk, p.left, p.right, p.live) + tail_cols,
             num_keys=Wp + 1,
         )
         skey = jnp.stack(ops[:Wp], axis=-1)
         smarker = ops[Wp]
         sseq = jnp.stack(ops[Wp + 1: Wp + 1 + LW], axis=-1)
-        slen, ssub, sleft, sright, slive = ops[Wp + 1 + LW:]
+        slen, ssub, sleft, sright, slive = ops[Wp + 1 + LW:
+                                               Wp + 6 + LW]
+        stail_cols = ops[Wp + 6 + LW:]
     else:
         order = jnp.lexsort(
             (marker,) + tuple(keys[:, i] for i in range(Wp - 1, -1, -1)))
@@ -244,6 +260,7 @@ def _pdyn_round_impl(
         sright = p.right[order]
         slive = p.live[order]
         smarker = marker[order]
+        stail_cols = ()   # lexsort path re-extracts the tail post-join
     prev = jnp.roll(skey, 1, axis=0)
     is_start = jnp.any(skey != prev, axis=1)
     is_start = is_start.at[0].set(True)
@@ -261,15 +278,18 @@ def _pdyn_round_impl(
                 fstart, seg,
                 (sleft, sright, slen, ssub, idx) + tuple(
                     sseq[:, i] for i in range(LW)))
-        rvalid, (r_left, r_right, r_len, r_sub, pos_r, *r_seq_cols) = \
+        rvalid, (r_left, r_right, r_len, r_sub, pos_r, *r_fill) = \
             segmented_fill(
                 rstart, seg,
                 (sleft, sright, slen, ssub, idx) + tuple(
-                    sseq[:, i] for i in range(LW)),
+                    sseq[:, i] for i in range(LW)) + tuple(stail_cols),
                 reverse=True)
+        r_seq_cols, r_tail_cols = r_fill[:LW], r_fill[LW:]
         has_pair = fvalid & rvalid
         f_seq = jnp.stack(f_seq_cols, axis=-1)
         r_seq = jnp.stack(r_seq_cols, axis=-1)
+        r_tail_fill = (jnp.stack(r_tail_cols, axis=-1)
+                       if r_tail_cols else None)
         if unique_only:
             # markers sorted: fwd rows are [seg_start, pos_r) and refl rows
             # [pos_r, next segment start) — counts come from positions, no
@@ -282,6 +302,7 @@ def _pdyn_round_impl(
         i_am_fwd_base = fstart
         i_am_refl_base = rstart
     else:
+        r_tail_fill = None
         fwd_first = first_per_segment(seg, slive & (smarker == 1), N)
         refl_first = first_per_segment(seg, slive & (smarker == 2), N)
         has_pair = (fwd_first < N) & (refl_first < N)
@@ -307,9 +328,9 @@ def _pdyn_round_impl(
     extra = f_sub - r_sub
 
     # dynamicSubKmerComparator: refl sub-kmer must prefix the fwd sub-kmer
-    SW = limbs_for(max_sub)
     f_head = f_seq[:, :SW]
-    r_tail = extract_window(r_seq, jnp.maximum(r_len - r_sub, 0), max_sub)
+    r_tail = (r_tail_fill if r_tail_fill is not None else
+              extract_window(r_seq, jnp.maximum(r_len - r_sub, 0), max_sub))
     prefix_ok = masked_prefix_eq(f_head, r_tail, r_sub) & (r_sub <= f_sub)
 
     gate = merge_gate(

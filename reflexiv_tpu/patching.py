@@ -289,13 +289,15 @@ def _dev_map_fns():
 
 def _map_reads_arrays_device(
     mat: np.ndarray, lens: np.ndarray, idx: _EndIndexArrays,
-    k: int = SEED_K, stride: int = 7, chunk: int = 1 << 16,
+    k: int = SEED_K, stride: int = 7, chunk: int = 1 << 20,
     acgt_ok: np.ndarray = None,
 ):
     """Device counterpart of :func:`_map_reads_arrays`: the rolling seed
     keys, two-limb index search and first-hit selection run jitted on the
     accelerator; chunks are padded to quantized row counts so compile
-    shapes stay bounded (VERDICT r2 #2)."""
+    shapes stay bounded (VERDICT r2 #2). The chunk is sized so a 1M-read
+    mapping is ONE dispatch (VERDICT r3 #4 — per-chunk host syncs were the
+    measured tunnel loss)."""
     import jax.numpy as jnp
 
     R, L = mat.shape

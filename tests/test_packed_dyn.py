@@ -274,3 +274,46 @@ def test_finished_mask_exact_parks_kmin_collisions():
     exact = np.asarray(pd.finished_mask_pdyn_exact(p, 12))
     assert not narrow[0] and not narrow[1]   # kmin-1 collision keeps both
     assert exact[0] and exact[1]             # divergence inside subk parks
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("unique_only", [False, True])
+def test_round_forms_bit_identical(seed, unique_only):
+    """The four (variadic, partner_fill) forms of the mixed-k round must be
+    bit-identical on every output column — including the fill-carried tail
+    window (carried as sort payload, round 4) vs the post-fill
+    extract_window. CPU run of the TPU-default forms."""
+    rng = np.random.default_rng(100 + seed)
+    klist = [5, 7, 9]
+    byte = random_pool(rng, 96, klist, cap_len=48)
+    dup = rng.integers(0, 96, size=32)
+    seq = np.asarray(byte.seq).copy()
+    seq[dup // 2] = seq[dup]
+    byte = byte._replace(
+        seq=jnp.asarray(seq),
+        length=jnp.asarray(np.asarray(byte.length)).at[dup // 2].set(
+            byte.length[dup]),
+        subk=jnp.asarray(np.asarray(byte.subk)).at[dup // 2].set(
+            byte.subk[dup]),
+    )
+    marker = _draw_markers_dyn(byte, 7)
+    packed = pd.from_dyn(byte)
+    outs = []
+    for variadic, fill in ((False, False), (True, False), (True, True)):
+        outs.append(pd._pdyn_round_impl(
+            packed, marker, kmin=min(klist), max_sub=max(klist) - 1,
+            unique_only=unique_only, variadic=variadic, partner_fill=fill))
+    ref = outs[0]
+    for got in outs[1:]:
+        np.testing.assert_array_equal(np.asarray(ref.seq),
+                                      np.asarray(got.seq))
+        np.testing.assert_array_equal(np.asarray(ref.length),
+                                      np.asarray(got.length))
+        np.testing.assert_array_equal(np.asarray(ref.subk),
+                                      np.asarray(got.subk))
+        np.testing.assert_array_equal(np.asarray(ref.left),
+                                      np.asarray(got.left))
+        np.testing.assert_array_equal(np.asarray(ref.right),
+                                      np.asarray(got.right))
+        np.testing.assert_array_equal(np.asarray(ref.live),
+                                      np.asarray(got.live))
