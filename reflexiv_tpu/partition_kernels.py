@@ -15,8 +15,8 @@ padded partition pass they would compose into:
   runs at full async depth. This is the exchange the round-3 analysis
   called "expressible but unmeasured" (ROADMAP r3 notes).
 * :func:`element_gather_probe` — per-element dynamic-offset loads
-  (row-at-a-time ``pl.ds(idx, 1)`` DMA), the primitive the arithmetic
-  "gather form" of a radix pass would need per element.
+  (one-element DMAs), the primitive the arithmetic "gather form" of a
+  radix pass would need per element.
 
 Composition arithmetic (why these two numbers settle the design): a
 partition pass = block grouping + exchange; grouping is a per-element
@@ -26,6 +26,12 @@ of the 57 ms XLA kill line — and partition-then-count must then group
 AGAIN inside each padded bucket (>= 2x the data after padding). So the
 pass only becomes interesting if one of THESE primitives is so fast that a
 grouping-free formulation exists. The probes give that number either way.
+
+Compile-size discipline (the remote-compile service wedged on a huge
+Mosaic program in round 2): both kernels are small scalar loops issuing
+DMAs — no unrolled networks, no large VMEM state. Offset tables live in
+HBM and are staged into SMEM per block (a scalar-prefetch array of
+nb*256 int32 would exceed SMEM).
 
 Reference: the partition replaces the Spark hash shuffle of
 ``groupBy("value").count()`` (``ReflexivDataFrameCounter.java:198-209``).
@@ -44,59 +50,65 @@ _RING = 8     # in-flight DMA depth for the exchange
 
 
 def _exchange_kernel_factory(nb: int, block: int, maxrun: int):
-    """One grid step = one source block; an inner loop DMAs its 256 digit
-    runs (hi and lo slices) into their padded bucket slots. A semaphore
-    ring of ``_RING`` keeps that many runs in flight across the loop AND
-    across grid steps; destinations are disjoint padded slots, so
-    completion order is free."""
+    """One grid step = one source block: stage the block's 256 run starts
+    into SMEM, then loop its digits issuing one (hi, lo) DMA pair per run
+    into the padded bucket slots. A semaphore ring of ``_RING`` keeps that
+    many runs in flight across the loop AND across grid steps.
+
+    Ring retirement note: every data DMA copies exactly ``maxrun`` uint32,
+    so a wait may be issued through a reconstructed descriptor with any
+    offsets — the byte count (what the DMA semaphore tracks) is identical.
+    That lets a block retire DMAs its predecessor started without keeping
+    the predecessor's offset table around.
+    """
     n_steps = nb * N_DIGITS
 
-    def make_dmas(starts_ref, hi_ref, lo_ref, ohi_ref, olo_ref, sems, step):
-        b = step // N_DIGITS
-        d = step % N_DIGITS
-        lstart = starts_ref[step]
-        src = b * block + lstart
-        dst = (d * nb + b) * maxrun
-        slot = step % _RING
-        dma_hi = pltpu.make_async_copy(
-            hi_ref.at[pl.ds(src, maxrun)],
-            ohi_ref.at[pl.ds(dst, maxrun)],
-            sems.at[slot, 0],
-        )
-        dma_lo = pltpu.make_async_copy(
-            lo_ref.at[pl.ds(src, maxrun)],
-            olo_ref.at[pl.ds(dst, maxrun)],
-            sems.at[slot, 1],
-        )
-        return dma_hi, dma_lo
-
-    def kernel(starts_ref, hi_ref, lo_ref, ohi_ref, olo_ref, sems):
+    def kernel(starts_hbm, hi_ref, lo_ref, ohi_ref, olo_ref,
+               st_smem, st_sem, sems):
         b = pl.program_id(0)
+        stage = pltpu.make_async_copy(
+            starts_hbm.at[pl.ds(b * N_DIGITS, N_DIGITS)], st_smem, st_sem)
+        stage.start()
+        stage.wait()
+
+        def dmas_at(src, dst, slot):
+            dma_hi = pltpu.make_async_copy(
+                hi_ref.at[pl.ds(src, maxrun)],
+                ohi_ref.at[pl.ds(dst, maxrun)],
+                sems.at[slot, 0],
+            )
+            dma_lo = pltpu.make_async_copy(
+                lo_ref.at[pl.ds(src, maxrun)],
+                olo_ref.at[pl.ds(dst, maxrun)],
+                sems.at[slot, 1],
+            )
+            return dma_hi, dma_lo
+
+        def wait_slot(slot):
+            # byte-count-equivalent descriptor (see docstring)
+            h, l = dmas_at(0, 0, slot)
+            h.wait()
+            l.wait()
 
         def body(d, _):
             step = b * N_DIGITS + d
+            slot = step % _RING
 
-            # retire the DMA that used this ring slot _RING steps ago
             @pl.when(step >= _RING)
             def _():
-                h, l = make_dmas(starts_ref, hi_ref, lo_ref, ohi_ref,
-                                 olo_ref, sems, step - _RING)
-                h.wait()
-                l.wait()
+                wait_slot(slot)
 
-            h, l = make_dmas(starts_ref, hi_ref, lo_ref, ohi_ref, olo_ref,
-                             sems, step)
+            src = b * block + st_smem[d]
+            dst = (d * nb + b) * maxrun
+            h, l = dmas_at(src, dst, slot)
             h.start()
             l.start()
 
-            # drain: the final step waits for the last _RING starts
+            # drain: the final step waits out the whole ring
             @pl.when(step == n_steps - 1)
             def _():
                 def drain(k, _):
-                    h, l = make_dmas(starts_ref, hi_ref, lo_ref, ohi_ref,
-                                     olo_ref, sems, n_steps - 1 - k)
-                    h.wait()
-                    l.wait()
+                    wait_slot(k)
                     return 0
 
                 jax.lax.fori_loop(0, min(_RING, n_steps), drain, 0)
@@ -130,13 +142,12 @@ def padded_exchange(
     """
     total = hi_g.shape[0] - maxrun
     nb = total // block
-    n_steps = nb * N_DIGITS
     out_shape = N_DIGITS * nb * maxrun
-    del n_steps
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    return pl.pallas_call(
+        _exchange_kernel_factory(nb, block, maxrun),
         grid=(nb,),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -144,25 +155,24 @@ def padded_exchange(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        scratch_shapes=[pltpu.SemaphoreType.DMA((_RING, 2))],
-    )
-    return pl.pallas_call(
-        _exchange_kernel_factory(nb, block, maxrun),
-        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((out_shape,), jnp.uint32),
             jax.ShapeDtypeStruct((out_shape,), jnp.uint32),
         ],
+        scratch_shapes=[
+            pltpu.SMEM((N_DIGITS,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((_RING, 2)),
+        ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(starts, hi_g, lo_g)
+    )(starts.astype(jnp.int32), hi_g, lo_g)
 
 
 def group_blocks_xla(hi, lo, *, block: int, shift: int):
     """Reference block-grouping + run-start table (XLA, for the probe and
     the interpret tests): sorts each ``block``-sized chunk by (digit, key)
-    and returns (hi_g, lo_g with ``maxrun`` slack appended by the caller,
-    starts (nb*256,) int32)."""
+    and returns (hi_g, lo_g, starts (nb*256,) int32)."""
     N = hi.shape[0]
     nb = N // block
     h2 = hi.reshape(nb, block)
@@ -197,30 +207,37 @@ def compact_buckets_np(out_hi, out_lo, starts, *, nb, block, maxrun):
     return np.concatenate(hi_parts), np.concatenate(lo_parts)
 
 
-def _gather_kernel_factory(n: int, chunk_rows: int):
+_GCHUNK = 256    # elements gathered per grid step
+
+
+def _gather_kernel_factory(n: int):
     """Per-element dynamic-offset loads: out[i] = src[idx[i]] via one
-    1-element DMA per element — the "arithmetic gather" form's primitive."""
+    1-element DMA per element — the "arithmetic gather" form's primitive.
+    Each grid step stages its index chunk into SMEM, gathers into a VMEM
+    buffer, and DMAs the buffer out."""
 
-    def kernel(idx_ref, src_ref, out_ref, buf, sem):
+    def kernel(idx_hbm, src_ref, out_ref, ibuf, buf, sem_i, sem_e, sem_o):
+        c = pl.program_id(0)
+        stage = pltpu.make_async_copy(
+            idx_hbm.at[pl.ds(c * _GCHUNK, _GCHUNK)], ibuf, sem_i)
+        stage.start()
+        stage.wait()
+
         def body(i, _):
-            pltpu.make_async_copy(
-                src_ref.at[pl.ds(idx_ref[i], 1)],
-                buf.at[pl.ds(i % chunk_rows, 1)],
-                sem,
-            ).start()
-            pltpu.make_async_copy(
-                src_ref.at[pl.ds(idx_ref[i], 1)],
-                buf.at[pl.ds(i % chunk_rows, 1)],
-                sem,
-            ).wait()
-
-            @pl.when((i % chunk_rows) == chunk_rows - 1)
-            def _():
-                out_ref[pl.ds(i - (chunk_rows - 1), chunk_rows)] = buf[:]
-
+            e = pltpu.make_async_copy(
+                src_ref.at[pl.ds(ibuf[i], 1)],
+                buf.at[pl.ds(i, 1)],
+                sem_e,
+            )
+            e.start()
+            e.wait()
             return 0
 
-        jax.lax.fori_loop(0, n, body, 0)
+        jax.lax.fori_loop(0, _GCHUNK, body, 0)
+        outc = pltpu.make_async_copy(
+            buf, out_ref.at[pl.ds(c * _GCHUNK, _GCHUNK)], sem_o)
+        outc.start()
+        outc.wait()
 
     return kernel
 
@@ -231,21 +248,23 @@ def element_gather_probe(src, idx, *, interpret: bool = False):
     dynamic-offset load rate (ns/element) that any gather-form radix pass
     would pay 16.8M times per pass."""
     n = idx.shape[0]
-    chunk = 256
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+    assert n % _GCHUNK == 0
+    return pl.pallas_call(
+        _gather_kernel_factory(n),
+        grid=(n // _GCHUNK,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((n,), jnp.uint32),
         scratch_shapes=[
-            pltpu.VMEM((chunk,), jnp.uint32),
+            pltpu.SMEM((_GCHUNK,), jnp.int32),
+            pltpu.VMEM((_GCHUNK,), jnp.uint32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
-    )
-    return pl.pallas_call(
-        _gather_kernel_factory(n, chunk),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n,), jnp.uint32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(idx.astype(jnp.int32), src)
