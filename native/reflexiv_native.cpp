@@ -702,6 +702,306 @@ extern "C" int64_t rfx_end_index(
   return kept;
 }
 
+// Hashed end-to-end patching front-end: build the end-window index as an
+// open-addressing hash (no 100M-entry sort) and map every pair against it
+// in the same call. Semantically identical to rfx_end_index +
+// rfx_map_pairs: the dedup rule ("first placement in scan order wins; a
+// key whose placements disagree on (contig, end) is dropped") is
+// order-independent — disagreement <=> two placements with different
+// (contig, end) exist, and the representative is the min-seqno placement —
+// so a hash built in any insertion order yields the same mapping as the
+// sorted build. Payloads are recomputed from the packed seqno.
+
+namespace {
+
+struct PatchHash {
+  // slot: key (sentinel ~0ULL empty) + val = min seqno | disagree<<63
+  std::vector<uint64_t> keys;
+  std::vector<uint64_t> vals;
+  uint64_t mask = 0;
+
+  void init(size_t slots) {
+    keys.assign(slots, ~0ULL);
+    vals.assign(slots, 0);
+    mask = slots - 1;
+  }
+};
+
+inline uint64_t rfx_hash64(uint64_t k) {
+  k ^= k >> 33;
+  k *= 0xff51afd7ed558ccdULL;
+  k ^= k >> 33;
+  k *= 0xc4ceb9fe1a85ec53ULL;
+  k ^= k >> 33;
+  return k;
+}
+
+constexpr uint64_t kDisagree = 1ULL << 63;
+
+inline void hash_insert(PatchHash& h, uint64_t key, uint64_t seqno,
+                        uint64_t region_div) {
+  uint64_t p = rfx_hash64(key) & h.mask;
+  while (true) {
+    if (h.keys[p] == ~0ULL) {
+      h.keys[p] = key;
+      h.vals[p] = seqno;
+      return;
+    }
+    if (h.keys[p] == key) {
+      uint64_t v = h.vals[p];
+      uint64_t kept = v & ~kDisagree;
+      uint64_t flag = v & kDisagree;
+      if (kept / region_div != seqno / region_div) flag = kDisagree;
+      if (seqno < kept) kept = seqno;
+      h.vals[p] = kept | flag;
+      return;
+    }
+    p = (p + 1) & h.mask;
+  }
+}
+
+// returns seqno or ~0ULL when absent/ambiguous
+inline uint64_t hash_lookup(const PatchHash& h, uint64_t key) {
+  uint64_t p = rfx_hash64(key) & h.mask;
+  while (true) {
+    const uint64_t k = h.keys[p];
+    if (k == ~0ULL) return ~0ULL;
+    if (k == key) {
+      const uint64_t v = h.vals[p];
+      return (v & kDisagree) ? ~0ULL : v;
+    }
+    p = (p + 1) & h.mask;
+  }
+}
+
+// one read's strided-seed map against the hash (dir as in map_one_read)
+inline void map_one_read_hash(
+    const uint8_t* s, int64_t n, int dir, const PatchHash& h,
+    const int64_t* coffsets, int32_t k, int32_t end_window,
+    int32_t seed_stride, uint64_t mask, uint64_t region_div,
+    int64_t* o_ci, int8_t* o_end, int64_t* o_pos, int8_t* o_strand,
+    uint8_t* o_mapped) {
+  *o_ci = 0; *o_end = 0; *o_pos = 0; *o_strand = 0; *o_mapped = 0;
+  if (n < k) return;
+  uint64_t v = 0;
+  int32_t run = 0;
+  int32_t next_seed = 0;
+  const int64_t n_win = n - k + 1;
+  for (int64_t j = 0; j < n; ++j) {
+    const uint8_t ch = dir == 0 ? s[j] : s[n - 1 - j];
+    const uint64_t code =
+        dir == 0 ? kCodes.t[ch] : (3ULL ^ kCodes.t[ch]);
+    run = rfx_is_acgt(ch) ? run + 1 : 0;
+    v = ((v << 2) | code) & mask;
+    const int64_t w = j - k + 1;
+    if (w < 0 || w >= n_win) continue;
+    if (w != next_seed) continue;
+    next_seed += seed_stride;
+    if (run < k) continue;
+    const uint64_t sq = hash_lookup(h, v);
+    if (sq == ~0ULL) continue;
+    const int64_t ci = (int64_t)(sq / (2 * region_div));
+    const int region = (int)((sq / region_div) & 1);
+    const int64_t jj = (int64_t)((sq % region_div) / 2);
+    const int strand = (int)(sq & 1);
+    const int64_t len = coffsets[ci + 1] - coffsets[ci];
+    const int64_t wv = len < end_window ? len : end_window;
+    const int64_t base = region == 0 ? 0 : len - wv;
+    const int64_t pos = base + jj;
+    *o_ci = ci;
+    *o_end = (int8_t)region;
+    *o_pos = strand == 0 ? pos - w : pos + k - 1 + w;
+    *o_strand = (int8_t)strand;
+    *o_mapped = 1;
+    return;
+  }
+}
+
+}  // namespace
+
+// Build the hashed end-window index from the contigs' concatenated ASCII
+// bytes and map both mates of every pair against it — the whole patching
+// mapping front-end in one call (no sort, no sorted-array binary search).
+// Returns 0, or -1 on bad parameters.
+extern "C" int32_t rfx_map_pairs_hashed(
+    const uint8_t* cascii, const int64_t* coffsets, int64_t n_contigs,
+    int32_t k, int32_t end_window, const uint8_t* ascii1,
+    const int64_t* offsets1, const uint8_t* ascii2, const int64_t* offsets2,
+    int64_t n_pairs, int32_t seed_stride, int64_t* c1, int8_t* e1,
+    int64_t* p1, int8_t* s1, uint8_t* m1, int64_t* c2, int8_t* e2,
+    int64_t* p2, int8_t* s2, uint8_t* m2, int32_t n_threads) {
+  if (k <= 0 || k > 31 || end_window < k) return -1;
+  if (n_threads <= 0) n_threads = (int32_t)std::thread::hardware_concurrency();
+  if (n_threads <= 0) n_threads = 2;
+  const uint64_t Wg = (uint64_t)(end_window - k + 1);
+  const uint64_t region_div = 2 * Wg;
+  const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+  const int32_t top = 2 * (k - 1);
+
+  // phase 1: generate (key, seqno) entries in parallel over contig ranges
+  std::vector<std::vector<IdxEntry>> per(n_threads);
+  {
+    std::vector<std::thread> pool;
+    int64_t span = (n_contigs + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; ++t) {
+      int64_t lo = t * span, hi = std::min(n_contigs, lo + span);
+      if (lo >= hi) break;
+      pool.emplace_back([=, &per]() {
+        std::vector<IdxEntry>& out = per[t];
+        int64_t bound = 0;
+        for (int64_t c = lo; c < hi; ++c) {
+          const int64_t len = coffsets[c + 1] - coffsets[c];
+          const int64_t w = len < end_window ? len : end_window;
+          if (w >= k) bound += 4 * (w - k + 1);
+        }
+        out.reserve((size_t)bound);
+        for (int64_t c = lo; c < hi; ++c) {
+          const uint8_t* s = cascii + coffsets[c];
+          const int64_t len = coffsets[c + 1] - coffsets[c];
+          const int64_t w = len < end_window ? len : end_window;
+          if (w < k) continue;
+          for (int region = 0; region < 2; ++region) {
+            const uint8_t* r = region == 0 ? s : s + (len - w);
+            uint64_t fwd = 0, rc = 0;
+            int32_t run = 0;
+            const uint64_t base_seq =
+                ((uint64_t)c * 2 + region) * region_div;
+            for (int64_t j = 0; j < w; ++j) {
+              const uint8_t ch = r[j];
+              run = rfx_is_acgt(ch) ? run + 1 : 0;
+              const uint64_t code = kCodes.t[ch];
+              fwd = ((fwd << 2) | code) & mask;
+              rc = (rc >> 2) | ((3ULL ^ code) << top);
+              if (j >= k - 1 && run >= k) {
+                const uint64_t sq = base_seq + (uint64_t)(j - k + 1) * 2;
+                out.push_back(idx_pack(fwd, sq));
+                out.push_back(idx_pack(rc, sq + 1));
+              }
+            }
+          }
+        }
+      });
+    }
+    for (auto& th : pool) th.join();
+  }
+  int64_t total = 0;
+  for (auto& v : per) total += (int64_t)v.size();
+
+  // phase 2: shard the hash by a hash bit; each shard thread scans every
+  // generation buffer and inserts only its own keys (sequential reads,
+  // private random writes — no locks)
+  const int32_t n_shards = n_threads >= 2 ? 2 : 1;
+  size_t slots = 2048;
+  // per-shard slots >= total entries => load factor <= ~0.5 even if every
+  // entry were unique and landed in one shard
+  while ((int64_t)slots < 2 * total + 1) slots <<= 1;
+  slots = slots / n_shards < 1024 ? 1024 : slots / n_shards;
+  std::vector<PatchHash> shards(n_shards);
+  {
+    std::vector<std::thread> pool;
+    for (int32_t t = 0; t < n_shards; ++t) {
+      pool.emplace_back([=, &shards, &per]() {
+        PatchHash& h = shards[t];
+        h.init(slots);
+        for (const auto& vec : per) {
+          for (const IdxEntry& e : vec) {
+            const uint64_t key = (uint64_t)(e >> 64);
+            if (n_shards > 1 &&
+                (int32_t)(rfx_hash64(key) >> 63) != t) continue;
+            hash_insert(h, key, (uint64_t)e, region_div);
+          }
+        }
+      });
+    }
+    for (auto& th : pool) th.join();
+  }
+  for (auto& v : per) {
+    v.clear();
+    v.shrink_to_fit();
+  }
+
+  // phase 3: map pairs in parallel
+  {
+    std::vector<std::thread> pool;
+    int64_t span = (n_pairs + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; ++t) {
+      int64_t lo = t * span, hi = std::min(n_pairs, lo + span);
+      if (lo >= hi) break;
+      pool.emplace_back([=, &shards]() {
+        auto look = [&](const uint8_t* s, int64_t n, int dir, int64_t i,
+                        int64_t* oc, int8_t* oe, int64_t* op, int8_t* os,
+                        uint8_t* om) {
+          // pick shard per probe inside map: wrap via lambda-less copy of
+          // map_one_read_hash but with shard dispatch — use a tiny proxy
+          // hash view when sharded
+          if (n_shards == 1) {
+            map_one_read_hash(s, n, dir, shards[0], coffsets, k,
+                              end_window, seed_stride, mask, region_div,
+                              oc + i, oe + i, op + i, os + i, om + i);
+            return;
+          }
+          // sharded: duplicate the scan with per-key shard choice
+          oc[i] = 0; oe[i] = 0; op[i] = 0; os[i] = 0; om[i] = 0;
+          if (n < k) return;
+          uint64_t v = 0;
+          int32_t run = 0;
+          int32_t next_seed = 0;
+          const int64_t n_win = n - k + 1;
+          for (int64_t j = 0; j < n; ++j) {
+            const uint8_t ch = dir == 0 ? s[j] : s[n - 1 - j];
+            const uint64_t code =
+                dir == 0 ? kCodes.t[ch] : (3ULL ^ kCodes.t[ch]);
+            run = rfx_is_acgt(ch) ? run + 1 : 0;
+            v = ((v << 2) | code) & mask;
+            const int64_t w = j - k + 1;
+            if (w < 0 || w >= n_win) continue;
+            if (w != next_seed) continue;
+            next_seed += seed_stride;
+            if (run < k) continue;
+            const uint64_t hv = rfx_hash64(v);
+            const PatchHash& h = shards[hv >> 63];
+            uint64_t p = hv & h.mask;
+            uint64_t sq = ~0ULL;
+            while (true) {
+              const uint64_t kk = h.keys[p];
+              if (kk == ~0ULL) break;
+              if (kk == v) {
+                const uint64_t vv = h.vals[p];
+                if (!(vv & kDisagree)) sq = vv;
+                break;
+              }
+              p = (p + 1) & h.mask;
+            }
+            if (sq == ~0ULL) continue;
+            const int64_t ci = (int64_t)(sq / (2 * region_div));
+            const int region = (int)((sq / region_div) & 1);
+            const int64_t jj = (int64_t)((sq % region_div) / 2);
+            const int strand = (int)(sq & 1);
+            const int64_t clen = coffsets[ci + 1] - coffsets[ci];
+            const int64_t wv = clen < end_window ? clen : end_window;
+            const int64_t base = region == 0 ? 0 : clen - wv;
+            const int64_t pos = base + jj;
+            oc[i] = ci;
+            oe[i] = (int8_t)region;
+            op[i] = strand == 0 ? pos - w : pos + k - 1 + w;
+            os[i] = (int8_t)strand;
+            om[i] = 1;
+            return;
+          }
+        };
+        for (int64_t i = lo; i < hi; ++i) {
+          look(ascii1 + offsets1[i], offsets1[i + 1] - offsets1[i], 0, i,
+               c1, e1, p1, s1, m1);
+          look(ascii2 + offsets2[i], offsets2[i + 1] - offsets2[i], 1, i,
+               c2, e2, p2, s2, m2);
+        }
+      });
+    }
+    for (auto& th : pool) th.join();
+  }
+  return 0;
+}
+
 // Strided-seed read mapping against a sorted end-window key index — the hot
 // loop of the patching stage (reflexiv_tpu.patching._map_reads_arrays; the
 // reference runs the analogous ReadAndContigPairs scan on every executor,

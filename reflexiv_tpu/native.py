@@ -109,6 +109,20 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int8), ctypes.c_int64, ctypes.c_int32,
     ]
+    lib.rfx_map_pairs_hashed.restype = ctypes.c_int32
+    lib.rfx_map_pairs_hashed.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+    ]
     lib.rfx_map_pairs.restype = None
     lib.rfx_map_pairs.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
@@ -436,6 +450,60 @@ def end_index_native(
     # views, not copies: the cap overshoot is small (dedup only) and the
     # copy of ~got*26 bytes costs seconds at the 100M-entry scale
     return keys[:got], ci[:got], end[:got], pos[:got], strand[:got]
+
+
+def _ragged_ascii(strs):
+    n = len(strs)
+    off = np.zeros(n + 1, np.int64)
+    for i, s in enumerate(strs):
+        off[i + 1] = off[i] + len(s)
+    cat = np.frombuffer("".join(strs).encode("latin-1"), np.uint8)
+    return cat, off
+
+
+def map_pairs_hashed_native(
+    contigs: List[str], pairs, *, k: int, end_window: int, stride: int,
+    threads: int = 0,
+):
+    """Whole patching mapping front-end in one C++ call: hashed end-window
+    index (no 100M-entry sort) + both mates of every pair mapped against
+    it. Output-identical to end_index_native + map_pairs_native (the dedup
+    rule is order-independent; see rfx_map_pairs_hashed). Returns the ten
+    mapping arrays, or None when the native library is unavailable or
+    k > 31."""
+    lib = _get_lib()
+    if lib is None or k > 31 or not hasattr(lib, "rfx_map_pairs_hashed"):
+        return None
+    cascii, coff = _ragged_ascii(contigs)
+    a1, off1 = _ragged_ascii([r1 for r1, _ in pairs])
+    a2, off2 = _ragged_ascii([r2 for _, r2 in pairs])
+    n = len(pairs)
+    outs = [np.zeros(n, dt) for dt in
+            (np.int64, np.int8, np.int64, np.int8, np.uint8,
+             np.int64, np.int8, np.int64, np.int8, np.uint8)]
+    P = ctypes.POINTER
+
+    def ptr(a, ct):
+        return a.ctypes.data_as(P(ct))
+
+    rc = lib.rfx_map_pairs_hashed(
+        ptr(cascii, ctypes.c_uint8), ptr(coff, ctypes.c_int64),
+        len(contigs), k, end_window,
+        ptr(a1, ctypes.c_uint8), ptr(off1, ctypes.c_int64),
+        ptr(a2, ctypes.c_uint8), ptr(off2, ctypes.c_int64), n, stride,
+        ptr(outs[0], ctypes.c_int64), ptr(outs[1], ctypes.c_int8),
+        ptr(outs[2], ctypes.c_int64), ptr(outs[3], ctypes.c_int8),
+        ptr(outs[4], ctypes.c_uint8),
+        ptr(outs[5], ctypes.c_int64), ptr(outs[6], ctypes.c_int8),
+        ptr(outs[7], ctypes.c_int64), ptr(outs[8], ctypes.c_int8),
+        ptr(outs[9], ctypes.c_uint8),
+        threads or _N_THREADS,
+    )
+    if rc != 0:
+        return None
+    outs[4] = outs[4].astype(bool)
+    outs[9] = outs[9].astype(bool)
+    return tuple(outs)
 
 
 def map_pairs_native(

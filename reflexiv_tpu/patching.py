@@ -511,14 +511,25 @@ def patch_contigs(
     from .bitpack import encode_ascii
     from .device_aux import device_stage_default
 
-    idx = _end_index_arrays(contigs)
+    native_ok = (not device_stage_default("patching")
+                 and os.environ.get("REFLEXIV_NATIVE_PATCH", "1") != "0"
+                 and os.environ.get("REFLEXIV_DEVICE_STAGES") != "0")
     mapped = None
-    if (idx is not None
-            and not device_stage_default("patching")
-            and os.environ.get("REFLEXIV_NATIVE_PATCH", "1") != "0"
-            and os.environ.get("REFLEXIV_DEVICE_STAGES") != "0"):
-        # whole-pair native mapping: skips the padded matrices, masks and
-        # host reverse-complement entirely (identical outputs)
+    idx = None
+    if native_ok and contigs:
+        # hashed whole-front-end: index build (open-addressing hash, no
+        # 100M-entry sort) + both-mate mapping in ONE native call;
+        # output-identical to the sorted-index path (order-independent
+        # dedup rule, see rfx_map_pairs_hashed)
+        from . import native
+
+        mapped = native.map_pairs_hashed_native(
+            contigs, pairs, k=SEED_K, end_window=END_WINDOW, stride=7)
+    if mapped is None:
+        idx = _end_index_arrays(contigs)
+    if mapped is None and idx is not None and native_ok:
+        # sorted-index native mapping (fallback when the hashed entry is
+        # unavailable): still skips the padded matrices and host revcomp
         from . import native
 
         mapped = native.map_pairs_native(

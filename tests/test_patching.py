@@ -281,3 +281,42 @@ def test_native_end_index_matches_numpy(monkeypatch):
         np.testing.assert_array_equal(got.pos, want.pos)
         np.testing.assert_array_equal(got.strand, want.strand)
         assert len(got.keys) > 100
+
+
+def test_hashed_front_end_matches_sorted_native(monkeypatch):
+    """rfx_map_pairs_hashed (hash index, no sort) must produce the same
+    ten mapping arrays as end_index_native + map_pairs_native on a messy
+    case with duplicate end windows (disagreement drops), N runs, and
+    short contigs."""
+    from reflexiv_tpu import native
+    from reflexiv_tpu.patching import END_WINDOW, SEED_K
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = random.Random(53)
+    genome = "".join(rng.choice("ACGT") for _ in range(9000))
+    contigs = [
+        genome[:800], genome[750:1600], genome[:800],      # dup -> ambiguous
+        oracle.revcomp(genome[1500:2400]),
+        genome[2300:2800] + "N" * 12 + genome[2900:3400],
+        genome[:25],
+    ]
+    pairs = _pairs_from(genome, rng, n=1200, insert=260, rl=76)
+    pairs.append(("N" * 76, "T" * 76))
+    want = None
+    idx_out = native.end_index_native(
+        contigs, k=SEED_K, end_window=END_WINDOW)
+    assert idx_out is not None
+    keys, ci, end, pos, strand = idx_out
+    want = native.map_pairs_native(
+        pairs, keys, ci, end, pos, strand, k=SEED_K, stride=7)
+    got = native.map_pairs_hashed_native(
+        contigs, pairs, k=SEED_K, end_window=END_WINDOW, stride=7)
+    assert got is not None and want is not None
+    import numpy as np
+
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+    assert got[4].sum() > 100    # the case actually maps reads
