@@ -230,10 +230,67 @@ def main():
             out["table_tpu_s"] + out["correct_s"], 1)
         return out
 
+    @phase("device_aux_single_dispatch")
+    def p_aux():
+        """VERDICT r3 #4: the single-dispatch device forms at the round-2
+        CPU-baseline scale (correction 1M reads vs 316 s; patching mapping
+        1M pairs vs 181 s stage / the mapping share of it). Warm second
+        run isolates steady-state from compiles."""
+        out = {}
+        os.environ["REFLEXIV_DEVICE_STAGES"] = "1"
+        try:
+            from reflexiv_tpu.preprocess import correct_reads_device
+
+            G, R, rl = 2_500_000, 1_000_000, 100
+            genome = rng.integers(0, 4, G, dtype=np.uint8)
+            starts = rng.integers(0, G - rl, R)
+            mat = genome[starts[:, None] + np.arange(rl)[None, :]]
+            er = rng.integers(0, R, R // 2)
+            ec = rng.integers(0, rl, R // 2)
+            mat[er, ec] = (mat[er, ec] + 1) % 4
+            lens = np.full(R, rl, np.int32)
+            t0 = time.time()
+            _, n_fixed = correct_reads_device(mat, lens, k=23, min_cov=3)
+            out["correction_cold_s"] = round(time.time() - t0, 1)
+            t0 = time.time()
+            _, n_fixed = correct_reads_device(mat, lens, k=23, min_cov=3)
+            out["correction_warm_s"] = round(time.time() - t0, 1)
+            out["correction_fixed"] = int(n_fixed)
+            out["correction_cpu_baseline_s"] = 316.0
+            del mat
+
+            # patching device mapping at 1M pairs / 100k contigs
+            from reflexiv_tpu.patching import patch_contigs
+
+            CODE = np.frombuffer(b"ACGT", np.uint8)
+            G2 = 100_000 * 1000
+            gen2 = rng.integers(0, 4, G2, dtype=np.uint8)
+            gs = CODE[gen2].tobytes().decode()
+            span = 1000
+            contigs = [gs[i * span: (i + 1) * span + 20]
+                       for i in range(100_000)]
+            insert = 300
+            ps = rng.integers(0, G2 - insert, 1_000_000)
+            comp = str.maketrans("ACGT", "TGCA")
+            pairs = [
+                (gs[s: s + rl],
+                 gs[s + insert - rl: s + insert].translate(comp)[::-1])
+                for s in ps
+            ]
+            t0 = time.time()
+            _joined, links = patch_contigs(contigs, pairs)
+            out["patching_stage_s"] = round(time.time() - t0, 1)
+            out["patching_links"] = len(links)
+            out["patching_cpu_baseline_s"] = 181.0
+        finally:
+            os.environ.pop("REFLEXIV_DEVICE_STAGES", None)
+        return out
+
     p_mixed()
     p_exchange()
     p_gather()
     p_correct()
+    p_aux()
     save()
     print(json.dumps({"done": True, "out": OUT}), flush=True)
 
