@@ -214,15 +214,25 @@ def _variant_pass(
     Returns updated (seq, left/right) and, for anchor='left', a drop mask for
     shorts whose variant base matches a long in their group.
     """
-    N = seq.shape[0]
+    N, L = seq.shape
     width = k1 - 1
+    # the reduction set holds exactly two lengths (k1 shorts, k2 == L
+    # longs; reduce_k_pair builds it that way), so the per-row window and
+    # variant-base gathers collapse to two-way selects of STATIC slices —
+    # a take_along_axis here materializes an (N, width, 1) int32 index
+    # tensor whose unit dim the TPU layouts pad x128 (a measured 20.8 GB
+    # HBM allocation at 40.6M rows, round-4 10 Mbp campaign)
+    short_row = length == k1
     if anchor == "right":
-        start = length - k1
+        # short: bases [0, k1-1); long: bases [L-k1, L-1)
+        win = jnp.where(
+            short_row[:, None], seq[:, :width], seq[:, L - k1: L - 1])
         vpos = length - 1
+        var = jnp.where(short_row, seq[:, k1 - 1], seq[:, L - 1])
     else:
-        start = jnp.ones_like(length)
+        win = seq[:, 1: k1]          # start 1 for every row
         vpos = jnp.zeros_like(length)
-    win = _gather_window(seq, start, width)
+        var = seq[:, 0]
     keys = pack_bases(win, width)
     order, seg = _segments_from_keys(keys, live)
 
@@ -231,7 +241,7 @@ def _variant_pass(
     sright = right[order]
     slive = live[order]
     svpos = vpos[order]
-    svar = jnp.take_along_axis(seq[order], svpos[:, None], axis=1)[:, 0]
+    svar = var[order]
 
     is_short = slive & (slen == k1)
     is_long = slive & (slen > k1)
@@ -272,9 +282,11 @@ def _variant_pass(
         long_bases = jax.ops.segment_max(
             onehot.astype(jnp.int32), seg, num_segments=N
         )[seg]
-        own = jnp.take_along_axis(
-            long_bases, svar[:, None].astype(jnp.int32), axis=1
-        )[:, 0]
+        # 4-way select instead of take_along_axis (same (N, 1, 1) index
+        # layout pathology as the window gather above)
+        own = jnp.zeros(N, jnp.int32)
+        for b in range(4):
+            own = jnp.where(svar == b, long_bases[:, b], own)
         drop = is_short & (own > 0)
 
     inv = jnp.argsort(order)
