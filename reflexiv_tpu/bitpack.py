@@ -111,6 +111,21 @@ def pack_bases(bases: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.stack(out, axis=-1)
 
 
+def pack_bases_np(bases: np.ndarray, k: int) -> np.ndarray:
+    """NumPy twin of :func:`pack_bases` (same bit/limb layout, host-side).
+
+    Used where a large byte pool lives on the host and only its packed keys
+    should ever reach the device (e.g. the k-pair reduction: uploading the
+    (N, k2) byte matrix costs a x128 minor-dim layout pad in HBM)."""
+    W = num_limbs(k)
+    out = np.zeros(bases.shape[:-1] + (W,), np.uint32)
+    b32 = bases.astype(np.uint32)
+    for j in range(k):
+        bitpos = 2 * (k - 1 - j)
+        out[..., W - 1 - bitpos // 32] |= b32[..., j] << np.uint32(bitpos % 32)
+    return out
+
+
 def unpack_bases(limbs: jnp.ndarray, k: int) -> jnp.ndarray:
     """Inverse of :func:`pack_bases`: ``(..., W)`` uint32 -> ``(..., k)`` uint8."""
     W = num_limbs(k)

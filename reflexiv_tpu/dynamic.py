@@ -204,43 +204,32 @@ def sort_k_records_sharded(
 # pairwise reduction
 # ---------------------------------------------------------------------------
 
-def _variant_pass(
-    seq, length, left, right, live, *, k1: int, anchor: str
+@functools.partial(jax.jit, static_argnames=("k1", "anchor"))
+def _variant_pass_device(
+    keys, length, attr, var, live, *, k1: int, anchor: str
 ):
-    """One variant-adjustment pass (A: right end, B: left end + drop plan).
+    """One variant-adjustment pass (A: right end, B: left end + drop plan)
+    over host-packed window keys.
 
     anchor='right': key = bases[len-k1 : len-1], variant base = last base.
     anchor='left' : key = bases[1 : k1],        variant base = first base.
-    Returns updated (seq, left/right) and, for anchor='left', a drop mask for
-    shorts whose variant base matches a long in their group.
+    ``keys`` are the (N, W) uint32 2-bit-packed windows (host-sliced per
+    row length, :func:`bitpack.pack_bases_np`); the byte pool itself never
+    reaches the device — at campaign scale an (N, k2) uint8 device array
+    pays a x128 minor-dim layout pad (measured 20+ GB HBM at 40.5M rows,
+    the round-4 10 Mbp campaign's 41v53 OOM).
+
+    Returns, in ORIGINAL row order: (new_attr, edit_mask, edit_val, drop).
+    ``edit_mask``/``edit_val`` describe the variant-base write the host
+    applies to its byte pool (at position len-1 / 0 for anchor right/left);
+    ``drop`` is only populated for anchor='left'.
     """
-    N, L = seq.shape
-    width = k1 - 1
-    # the reduction set holds exactly two lengths (k1 shorts, k2 == L
-    # longs; reduce_k_pair builds it that way), so the per-row window and
-    # variant-base gathers collapse to two-way selects of STATIC slices —
-    # a take_along_axis here materializes an (N, width, 1) int32 index
-    # tensor whose unit dim the TPU layouts pad x128 (a measured 20.8 GB
-    # HBM allocation at 40.6M rows, round-4 10 Mbp campaign)
-    short_row = length == k1
-    if anchor == "right":
-        # short: bases [0, k1-1); long: bases [L-k1, L-1)
-        win = jnp.where(
-            short_row[:, None], seq[:, :width], seq[:, L - k1: L - 1])
-        vpos = length - 1
-        var = jnp.where(short_row, seq[:, k1 - 1], seq[:, L - 1])
-    else:
-        win = seq[:, 1: k1]          # start 1 for every row
-        vpos = jnp.zeros_like(length)
-        var = seq[:, 0]
-    keys = pack_bases(win, width)
+    N = length.shape[0]
     order, seg = _segments_from_keys(keys, live)
 
     slen = length[order]
-    sleft = left[order]
-    sright = right[order]
+    sattr = attr[order]
     slive = live[order]
-    svpos = vpos[order]
     svar = var[order]
 
     is_short = slive & (slen == k1)
@@ -253,24 +242,16 @@ def _variant_pass(
     )[seg]
     has_short = first_short < N
     fs = jnp.minimum(first_short, N - 1)
-    short_attr = sright[fs] if anchor == "right" else sleft[fs]
+    short_attr = sattr[fs]
     short_var = svar[fs]
 
     # longs inherit extendability when the short end is extendable
-    attr = sright if anchor == "right" else sleft
-    resolves_fork = is_long & has_short & (short_attr < 0) & (attr >= 0)
-    new_attr = jnp.where(resolves_fork, -1, attr)
+    resolves_fork = is_long & has_short & (short_attr < 0) & (sattr >= 0)
+    new_attr = jnp.where(resolves_fork, -1, sattr)
     # longs inherit the short's variant base ONLY when the short resolves a
     # fork the long was blocked on — unconditional replacement (first
     # attempt) corrupted terminal bases with low-k error variants
     new_var = jnp.where(resolves_fork, short_var, svar)
-    sseq = seq[order]
-    sseq = jnp.where(
-        (jnp.arange(sseq.shape[1], dtype=jnp.int32)[None, :] == svpos[:, None])
-        & resolves_fork[:, None],
-        new_var[:, None].astype(sseq.dtype),
-        sseq,
-    )
 
     drop = jnp.zeros(N, dtype=bool)
     if anchor == "left":
@@ -282,62 +263,54 @@ def _variant_pass(
         long_bases = jax.ops.segment_max(
             onehot.astype(jnp.int32), seg, num_segments=N
         )[seg]
-        # 4-way select instead of take_along_axis (same (N, 1, 1) index
-        # layout pathology as the window gather above)
+        # 4-way select instead of take_along_axis (the (N, 1, 1) index
+        # layout pathology again)
         own = jnp.zeros(N, jnp.int32)
         for b in range(4):
             own = jnp.where(svar == b, long_bases[:, b], own)
         drop = is_short & (own > 0)
 
     inv = jnp.argsort(order)
-    out_seq = sseq[inv]
-    out_attr = new_attr[inv]
-    out_drop = drop[inv]
-    if anchor == "right":
-        return out_seq, left, out_attr, out_drop
-    return out_seq, out_attr, right, out_drop
+    return new_attr[inv], resolves_fork[inv], new_var[inv], drop[inv]
 
 
-@functools.partial(jax.jit, static_argnames=("k1", "kpad"))
-def _reduce_pair_device(seq, length, left, right, live, *, k1: int, kpad: int):
-    """Passes A, B and C of the (k1, k2) reduction on a mixed padded set."""
-    # pass A: right-end variant adjustment
-    seq, left, right, _ = _variant_pass(
-        seq, length, left, right, live, k1=k1, anchor="right"
-    )
-    # pass B: left-end variant adjustment + matching-short drop
-    seq, left, right, dropB = _variant_pass(
-        seq, length, left, right, live, k1=k1, anchor="left"
-    )
-    live = live & ~dropB
+@functools.partial(jax.jit, static_argnames=("k",))
+def _subsume_pass_device(keys, length, live, *, k: int):
+    """Pass C: prefix subsumption over full-k packed keys.
 
-    # pass C: prefix subsumption on the full k-mer (pad value 0 == 'A' sorts
-    # a short key immediately before any longer key sharing its prefix)
-    col = jnp.arange(seq.shape[1], dtype=jnp.int32)[None, :]
-    padded = jnp.where(col < length[:, None], seq, 0)
-    keys = pack_bases(padded[:, :kpad], kpad)
-    Wp = keys.shape[1]
+    Sort by (packed key, length); a live record is contained iff its sorted
+    successor is live, longer, and agrees on the record's first ``len``
+    bases (pad code 0 == 'A' sorts a short key immediately before any
+    longer key sharing its prefix). The byte-matrix window compare of the
+    original formulation becomes a masked limb compare: prefix of p bases
+    == top 2p bits of the 2k-bit big-endian packed integer.
+    """
+    N, W = keys.shape
+    T = 2 * k
     keyed = jnp.where(live[:, None], keys, jnp.uint32(0xFFFFFFFF))
     order = jnp.lexsort(
-        (length,) + tuple(keyed[:, i] for i in range(Wp - 1, -1, -1))
-    )
+        (length,) + tuple(keyed[:, i] for i in range(W - 1, -1, -1)))
     slen = length[order]
     slive = live[order]
     skey = keyed[order]
     nxt_key = jnp.roll(skey, -1, axis=0)
     nxt_len = jnp.roll(slen, -1)
     nxt_live = jnp.roll(slive, -1)
-    # successor starts with me iff our packed keys agree on my first `len`
-    # bases; compare via masked base window
-    sseq = padded[order]
-    nxt_seq = jnp.roll(sseq, -1, axis=0)
-    same_prefix = jnp.all(
-        jnp.where(col < slen[:, None], sseq == nxt_seq, True), axis=1
-    )
-    contained = slive & nxt_live & (nxt_len > slen) & same_prefix
+    # successor starts with me iff keys agree on my top 2*len bits
+    cut = T - 2 * slen                     # first kept bit index
+    same = jnp.ones(N, dtype=bool)
+    for i in range(W):
+        lo = 32 * (W - 1 - i)              # limb i covers bits [lo, lo+32)
+        c = jnp.clip(cut - lo, 0, 32)
+        mask = jnp.where(
+            c >= 32, jnp.uint32(0),
+            jnp.left_shift(jnp.uint32(0xFFFFFFFF),
+                           jnp.minimum(c, 31).astype(jnp.uint32)))
+        same = same & (((skey[:, i] ^ nxt_key[:, i]) & mask) == 0)
+    contained = slive & nxt_live & (nxt_len > slen) & same
     new_live = slive & ~contained
     inv = jnp.argsort(order)
-    return seq, left, right, new_live[inv]
+    return new_live[inv]
 
 
 def reduce_k_pair(
@@ -350,33 +323,69 @@ def reduce_k_pair(
 
     Each side is (bases, left, right). Mirrors the job flow of
     ``ReflexivDSDynamicKmerRuduction.assemblyFromKmer`` (``:143-287``).
+
+    Host-orchestrated: the byte pool stays in host RAM; each pass uploads
+    only packed window keys (W uint32 limbs/row) + per-row scalars, and the
+    inter-pass variant-base writes are applied to the numpy pool between
+    dispatches. Sorting/segmenting runs on the device.
     """
+    from .bitpack import pack_bases_np
+
     b1, l1, r1 = shorts
     b2, l2, r2 = longs
     n1, n2 = len(b1), len(b2)
-    L = k2
-    seq = np.zeros((n1 + n2, L), dtype=np.uint8)
+    N, L = n1 + n2, k2
+    width = k1 - 1
+    seq = np.zeros((N, L), dtype=np.uint8)
     seq[:n1, :k1] = b1
     seq[n1:, :k2] = b2
-    length = np.concatenate([np.full(n1, k1, np.int32), np.full(n2, k2, np.int32)])
+    length = np.concatenate(
+        [np.full(n1, k1, np.int32), np.full(n2, k2, np.int32)])
     left = np.concatenate([l1, l2]).astype(np.int32)
     right = np.concatenate([r1, r2]).astype(np.int32)
-    live = np.ones(n1 + n2, dtype=bool)
+    live = np.ones(N, dtype=bool)
+    len_d = jnp.asarray(length)
+    live_d = jnp.asarray(live)
 
-    seq_j, left_j, right_j, live_j = _reduce_pair_device(
-        jnp.asarray(seq), jnp.asarray(length), jnp.asarray(left),
-        jnp.asarray(right), jnp.asarray(live), k1=k1, kpad=k2,
-    )
-    seq_o = np.asarray(seq_j)
-    left_o = np.asarray(left_j)
-    right_o = np.asarray(right_j)
-    live_o = np.asarray(live_j)
-    keep1 = live_o[:n1]
-    shorts_out = (seq_o[:n1][keep1][:, :k1], left_o[:n1][keep1],
-                  right_o[:n1][keep1])
-    keep2 = live_o[n1:]
-    longs_out = (seq_o[n1:][keep2][:, :k2], left_o[n1:][keep2],
-                 right_o[n1:][keep2])
+    # pass A: right-end variant adjustment
+    # short key: bases [0, k1-1); long key: bases [L-k1, L-1)
+    win = np.empty((N, width), np.uint8)
+    win[:n1] = seq[:n1, :width]
+    win[n1:] = seq[n1:, L - k1: L - 1]
+    var = np.concatenate([seq[:n1, k1 - 1], seq[n1:, L - 1]])
+    new_right, edit, edit_val, _ = _variant_pass_device(
+        jnp.asarray(pack_bases_np(win, width)), len_d, jnp.asarray(right),
+        jnp.asarray(var), live_d, k1=k1, anchor="right")
+    right = np.asarray(new_right)
+    rows = np.nonzero(np.asarray(edit))[0]
+    seq[rows, length[rows] - 1] = np.asarray(edit_val)[rows]
+    del new_right, edit, edit_val
+
+    # pass B: left-end variant adjustment + matching-short drop
+    new_left, edit, edit_val, dropB = _variant_pass_device(
+        jnp.asarray(pack_bases_np(seq[:, 1:k1], width)), len_d,
+        jnp.asarray(left), jnp.asarray(seq[:, 0]), live_d,
+        k1=k1, anchor="left")
+    left = np.asarray(new_left)
+    rows = np.nonzero(np.asarray(edit))[0]
+    seq[rows, 0] = np.asarray(edit_val)[rows]
+    live &= ~np.asarray(dropB)
+    del new_left, edit, edit_val, dropB, live_d
+
+    # pass C: prefix subsumption on the full k-mer (rows are 0-padded
+    # beyond their length by construction; edits only touch in-length
+    # positions)
+    new_live = _subsume_pass_device(
+        jnp.asarray(pack_bases_np(seq, k2)), len_d, jnp.asarray(live), k=k2)
+    live = np.asarray(new_live)
+    del new_live, len_d
+
+    keep1 = live[:n1]
+    shorts_out = (seq[:n1][keep1][:, :k1], left[:n1][keep1],
+                  right[:n1][keep1])
+    keep2 = live[n1:]
+    longs_out = (seq[n1:][keep2][:, :k2], left[n1:][keep2],
+                 right[n1:][keep2])
     return shorts_out, longs_out
 
 
