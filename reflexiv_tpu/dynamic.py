@@ -590,8 +590,9 @@ def run_dyn_extension(
     saved_cap = None
     if state0 is not None:
         p_host, parked0, st = state0
-        p = pd.PackedDynRecords(*(jnp.asarray(a) for a in p_host))
-        p = _pad_pdyn(p, max(_np2(p.capacity), 16))
+        # device pool built lazily: an over-HBM-scale pool must stay on
+        # the host for the bucketed big-pool phase below
+        p = None
         max_sub = st["max_sub"]
         it0 = st["it"] + 1
         stable, prev, need = st["stable"], st["prev"], st["need"]
@@ -635,6 +636,8 @@ def run_dyn_extension(
     if mesh is not None:
         from .parallel import pdyn_extension_round_sharded
 
+        if p is None:
+            p = pd.PackedDynRecords(*(jnp.asarray(a) for a in p_host))
         n_dev = mesh.devices.size
         # floor the pool so per-destination buckets survive key skew even
         # when only a handful of records remain (fixing stage)
@@ -695,7 +698,69 @@ def run_dyn_extension(
         return _finish(p, parked_m)
 
     parked: list = list(parked0)
-    for it in range(it0, max_rounds + 1):
+
+    # ---- host-routed bucketed big-pool phase ----------------------------
+    # A pool past ~16M rows makes the monolithic fused-round program large
+    # enough to kill the TPU compile service (observed: SIGKILL'd
+    # tpu_compile_helper at 128M-row capacity, round-4 10 Mbp campaign).
+    # While the pool is over the threshold, each round is routed through
+    # hash buckets of the round's group key: partners always share the
+    # (kmin-1)-base window key, so equal-hash bucketing preserves the join
+    # exactly, and every bucket runs the SAME fixed-capacity compiled
+    # round. The pool lives in host RAM between rounds; the device only
+    # ever sees one bucket slab. (The reference leans on Spark's shuffle
+    # for the same reason — the full sort never sits on one executor,
+    # ``Pipelines.java:877-974``.)
+    bucket_rows = int(os.environ.get(
+        "REFLEXIV_BUCKET_ROUND_ROWS", str(12 << 20)))
+    it0_dev = it0
+    hp = None
+    if prev > bucket_rows:
+        if p is None:
+            live_h = np.asarray(p_host[5])
+            idxh = np.nonzero(live_h)[0]
+            hp = tuple(np.asarray(a)[idxh] for a in p_host[:5])
+        else:
+            live_h = np.asarray(p.live)
+            idxh = np.nonzero(live_h)[0]
+            hp = (np.asarray(p.seq)[idxh], np.asarray(p.length)[idxh],
+                  np.asarray(p.subk)[idxh], np.asarray(p.left)[idxh],
+                  np.asarray(p.right)[idxh])
+            p = None
+        del idxh, live_h
+        for it in range(it0_dev, max_rounds + 1):
+            hp, n, need = _pdyn_round_bucketed_host(
+                hp, seed + it, kmin=kmin, max_sub=max_sub,
+                unique_only=unique_only, need=need)
+            if n == prev:
+                stable += 1
+            else:
+                stable, prev = 0, n
+            log.info("bucketed round %d: %d live rows", it, n)
+            it0_dev = it + 1
+            _loop_ckpt(
+                pd.PackedDynRecords(*hp, np.ones(len(hp[1]), bool)),
+                parked, it)
+            if prev <= bucket_rows:
+                break
+            if it >= params.min_iterations and stable >= 12:
+                # fixpoint while still over-threshold: skip the device
+                # loop (its monolithic round would not compile at this
+                # capacity) and finish from the host pool
+                it0_dev = max_rounds + 1
+                break
+    if p is None:
+        if hp is not None:
+            n_h = len(hp[1])
+            cap0 = max(_np2(max(n_h, 1)), 16)
+            p = _pad_pdyn(pd.PackedDynRecords(
+                *hp, np.ones(n_h, bool)), cap0)
+            hp = None
+        else:
+            p = pd.PackedDynRecords(*(jnp.asarray(a) for a in p_host))
+            p = _pad_pdyn(p, max(_np2(p.capacity), 16))
+
+    for it in range(it0_dev, max_rounds + 1):
         p = pd.compact_grow_pdyn(p, prev, need)
         p, live_n, need_arr = pd.pdyn_extension_round_fused(
             p, jnp.uint32(seed + it), kmin=kmin, max_sub=max_sub,
@@ -751,6 +816,116 @@ def _pad_pdyn(p, cap_rows: int):
         jnp.asarray(seq), jnp.asarray(length), jnp.asarray(subk),
         jnp.asarray(left), jnp.asarray(right), jnp.asarray(new_live),
     )
+
+
+def _pdyn_round_bucketed_host(
+    hp, round_seed: int, *, kmin: int, max_sub: int, unique_only: bool,
+    need: int,
+):
+    """One mixed-k extension round over a host-resident pool, routed
+    through group-key-hash buckets so the device only ever runs the
+    fixed-capacity fused round program.
+
+    ``hp`` is the all-live host pool ``(seq (N, LW) u32, length, subk,
+    left, right)``. Every bucket slab reuses ONE compiled program
+    (capacity ``REFLEXIV_BUCKET_CAP``, default 2^24 — the scale the
+    round-3 on-chip sorts are proven at); a forward record and its
+    reflected partner extract the same (kmin-1)-base window as their sort
+    key, so equal-hash routing keeps all joinable pairs in one bucket and
+    the union of bucket rounds equals the monolithic round up to row
+    order (orientation draws hash row CONTENT, not position). Returns
+    ``(new_hp, live_n, need)``.
+    """
+    from . import packed_dyn as pd
+    from .packed import limbs_for
+    from .records import next_pow2
+
+    seq, length, subk, left, right = hp
+    N = len(length)
+    cap = int(os.environ.get("REFLEXIV_BUCKET_CAP", str(1 << 24)))
+
+    # limb growth for this round's merges (mirrors compact_grow_pdyn)
+    need_limbs = next_pow2(limbs_for(max(need, 16)))
+    LW = seq.shape[1]
+    if need_limbs > LW:
+        seq = np.pad(seq, ((0, 0), (0, need_limbs - LW)))
+        LW = need_limbs
+
+    # pass 1: 32-bit group-key hash per row, slab-wise
+    h = np.empty(N, np.uint32)
+    for lo in range(0, N, cap):
+        hi = min(lo + cap, N)
+        n = hi - lo
+        seq_s = np.zeros((cap, LW), np.uint32)
+        seq_s[:n] = seq[lo:hi]
+        len_s = np.zeros(cap, np.int32)
+        len_s[:n] = length[lo:hi]
+        sub_s = np.ones(cap, np.int32)
+        sub_s[:n] = subk[lo:hi]
+        live_s = np.zeros(cap, bool)
+        live_s[:n] = True
+        h[lo:hi] = np.asarray(pd.bucket_hash_pdyn(
+            jnp.asarray(seq_s), jnp.asarray(len_s), jnp.asarray(sub_s),
+            jnp.asarray(live_s), jnp.uint32(round_seed), kmin=kmin))[:n]
+
+    # bucket count: smallest power of two with every bucket under 3/4 cap
+    # (exact occupancy is known up front, so overflow never needs a retry)
+    n_buckets = max(1, next_pow2(-(-N // (cap * 3 // 4))))
+    while True:
+        ids = h & np.uint32(n_buckets - 1)
+        counts = np.bincount(ids, minlength=n_buckets)
+        if int(counts.max()) <= cap:
+            break
+        n_buckets *= 2
+    order = np.argsort(ids, kind="stable")
+    bounds = np.concatenate([[0], np.cumsum(counts)])
+
+    parts = []
+    total_live = 0
+    top = np.zeros(2, np.int64)    # two longest live records, pool-wide
+    for b in range(n_buckets):
+        rows = order[bounds[b]:bounds[b + 1]]
+        n = len(rows)
+        if n == 0:
+            continue
+        seq_s = np.zeros((cap, LW), np.uint32)
+        seq_s[:n] = seq[rows]
+        len_s = np.zeros(cap, np.int32)
+        len_s[:n] = length[rows]
+        sub_s = np.ones(cap, np.int32)
+        sub_s[:n] = subk[rows]
+        left_s = np.zeros(cap, np.int32)
+        left_s[:n] = left[rows]
+        right_s = np.zeros(cap, np.int32)
+        right_s[:n] = right[rows]
+        live_s = np.zeros(cap, bool)
+        live_s[:n] = True
+        slab = pd.PackedDynRecords(
+            jnp.asarray(seq_s), jnp.asarray(len_s), jnp.asarray(sub_s),
+            jnp.asarray(left_s), jnp.asarray(right_s), jnp.asarray(live_s))
+        out, _live_n, _need = pd.pdyn_extension_round_fused(
+            slab, jnp.uint32(round_seed), kmin=kmin, max_sub=max_sub,
+            unique_only=unique_only)
+        olive = np.asarray(out.live)
+        keep = np.nonzero(olive)[0]
+        part = (np.asarray(out.seq)[keep], np.asarray(out.length)[keep],
+                np.asarray(out.subk)[keep], np.asarray(out.left)[keep],
+                np.asarray(out.right)[keep])
+        del slab, out
+        parts.append(part)
+        total_live += len(keep)
+        if len(keep):
+            t = np.sort(np.partition(part[1], -min(2, len(keep)))[-2:])
+            top = np.sort(np.concatenate([top, t.astype(np.int64)]))[-2:]
+
+    if not parts:
+        empty = (np.zeros((0, LW), np.uint32),) + tuple(
+            np.zeros(0, np.int32) for _ in range(4))
+        return empty, 0, int(need)
+    new_hp = tuple(np.concatenate([p_[i] for p_ in parts])
+                   for i in range(5))
+    need_out = int(top[0] + top[1])
+    return new_hp, total_live, need_out
 
 
 # ---------------------------------------------------------------------------

@@ -377,6 +377,29 @@ def pdyn_extension_round_fused(
 
 
 @functools.partial(jax.jit, static_argnames=("kmin",))
+def bucket_hash_pdyn(seq, length, subk, live, round_seed, *, kmin: int):
+    """32-bit hash of each live row's round group key (the (kmin-1)-base
+    head/tail window the round sorts on).
+
+    A forward record and its reflected partner extract the same window
+    value from opposite ends, so equal-hash bucketing keeps every joinable
+    pair in one bucket — the invariant behind the host-routed bucketed
+    rounds that process an over-HBM-scale pool through the fixed-capacity
+    fused round program (see ``dynamic._pdyn_round_bucketed_host``)."""
+    p = PackedDynRecords(
+        seq, length, subk, jnp.zeros_like(length), jnp.zeros_like(length),
+        live)
+    marker = draw_markers_pdyn(p, round_seed)
+    gw = kmin - 1
+    key_start = jnp.where(marker == 1, 0, length - subk)
+    keys = extract_window(seq, jnp.maximum(key_start, 0), gw)
+    h = jnp.zeros_like(keys[:, 0])
+    for i in range(keys.shape[1]):
+        h = mix32(h ^ keys[:, i])
+    return h
+
+
+@functools.partial(jax.jit, static_argnames=("kmin",))
 def finished_mask_pdyn(p: PackedDynRecords, kmin: int) -> jnp.ndarray:
     """Mixed-k extendability prefilter (conservative).
 

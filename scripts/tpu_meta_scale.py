@@ -115,17 +115,25 @@ def main():
             break
         att_to = min(args.attempt_timeout, left)
         t0 = time.time()
+        # full per-attempt logs on disk: the in-memory tail loses the
+        # exception body on long JAX tracebacks
+        att_log = f"/tmp/meta_scale_attempt{attempt}.log"
         try:
-            proc = subprocess.run(
-                cmd, env=env, timeout=att_to,
-                cwd=os.path.join(os.path.dirname(__file__), ".."),
-                capture_output=True, text=True)
+            with open(att_log, "w") as lf:
+                proc = subprocess.run(
+                    cmd, env=env, timeout=att_to,
+                    cwd=os.path.join(os.path.dirname(__file__), ".."),
+                    stdout=lf, stderr=subprocess.STDOUT)
             rc = proc.returncode
-            tail = proc.stderr[-1500:] + proc.stdout[-500:]
-        except subprocess.TimeoutExpired as e:
+            with open(att_log) as lf2:
+                tail = lf2.read()[-2000:]
+        except subprocess.TimeoutExpired:
             rc = -9
-            tail = ((e.stderr or b"")[-1500:].decode("utf8", "replace")
-                    if isinstance(e.stderr, bytes) else (e.stderr or "")[-1500:])
+            try:
+                with open(att_log) as lf2:
+                    tail = lf2.read()[-2000:]
+            except OSError:
+                tail = ""
         wall = time.time() - t0
         attempts_log.append({"attempt": attempt, "rc": rc,
                              "wall_s": round(wall, 1)})

@@ -227,3 +227,30 @@ def test_fixing_split_arrays_matches_scalar():
     assert rows_scalar(ints_s) == rows_arrays(ints_a)
     assert rows_scalar(smalls_s) == rows_arrays(smalls_a)
     assert len(ew_a) > 0 and len(rows_arrays(ints_a)) > 0
+
+
+def test_dynamic_assembly_bucketed_big_pool_phase(monkeypatch):
+    """Forcing a tiny bucket threshold routes the early extension rounds
+    through the host-bucketed phase (the over-HBM-pool path of the 10 Mbp
+    campaign) and hands off to the device loop; the assembly must still
+    reconstruct the genome."""
+    monkeypatch.setenv("REFLEXIV_BUCKET_ROUND_ROWS", "64")
+    monkeypatch.setenv("REFLEXIV_BUCKET_CAP", "256")
+    rng = random.Random(23)
+    genome = "".join(rng.choice("ACGT") for _ in range(500))
+    reads = []
+    for _ in range(300):
+        s = rng.randrange(len(genome) - 60)
+        r = genome[s:s + 60]
+        if rng.random() < 0.5:
+            r = oracle.revcomp(r)
+        reads.append(r)
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    params = Params(k=21, klist=(15, 21, 31), min_kmer_coverage=2,
+                    min_contig=300)
+    contigs = dynamic.assemble_dynamic(mat, lens, params, seed=1)
+    canon = {canonical_contig(s) for _, s in contigs}
+    assert len(canon) == 1
+    (c,) = canon
+    assert len(c) >= 420
+    assert c in genome or oracle.revcomp(c) in genome

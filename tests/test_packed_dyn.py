@@ -317,3 +317,53 @@ def test_round_forms_bit_identical(seed, unique_only):
                                       np.asarray(got.right))
         np.testing.assert_array_equal(np.asarray(ref.live),
                                       np.asarray(got.live))
+
+
+def test_bucketed_round_matches_monolithic(monkeypatch):
+    """The host-routed bucketed round (over-HBM pools) must equal the
+    monolithic fused round as a multiset of live records: partners always
+    share the (kmin-1)-base group key, so hash bucketing never separates a
+    joinable pair, and orientation draws hash row content, not position."""
+    from reflexiv_tpu import dynamic
+
+    rng = np.random.default_rng(9)
+    klist = [5, 7, 9]
+    n = 512
+    byte = random_pool(rng, n, klist, cap_len=64)
+    seq = np.asarray(byte.seq).copy()
+    length = np.asarray(byte.length).copy()
+    subk = np.asarray(byte.subk).copy()
+    left = np.asarray(byte.left).copy()
+    right = np.asarray(byte.right).copy()
+    dup = rng.integers(0, n, size=n // 2)
+    for arr in (seq, length, subk, left, right):
+        arr[dup // 2] = arr[dup]
+    byte2 = DynRecords(seq, length, subk, left, right, np.ones(n, bool))
+    packed = pd.from_dyn_host(byte2)
+    seed_it = 13
+    mono, live_n, need_m = pd.pdyn_extension_round_fused(
+        packed, jnp.uint32(seed_it), kmin=5, max_sub=8, unique_only=False)
+
+    hp = (np.asarray(packed.seq), np.asarray(packed.length),
+          np.asarray(packed.subk), np.asarray(packed.left),
+          np.asarray(packed.right))
+    monkeypatch.setenv("REFLEXIV_BUCKET_CAP", "128")
+    new_hp, total_live, need_b = dynamic._pdyn_round_bucketed_host(
+        hp, seed_it, kmin=5, max_sub=8, unique_only=False,
+        need=int(np.max(length)) * 2)
+
+    def multiset(sq, ls, sk, lf, rt):
+        return sorted(
+            (int(ls[i]), int(sk[i]), int(lf[i]), int(rt[i]),
+             sq[i].tobytes())
+            for i in range(len(ls)))
+
+    got = multiset(*new_hp)
+    keep = np.nonzero(np.asarray(mono.live))[0]
+    want = multiset(
+        np.asarray(mono.seq)[keep], np.asarray(mono.length)[keep],
+        np.asarray(mono.subk)[keep], np.asarray(mono.left)[keep],
+        np.asarray(mono.right)[keep])
+    assert got == want
+    assert total_live == int(live_n) and total_live < n  # joins happened
+    assert need_b == int(need_m)
