@@ -738,6 +738,30 @@ def run_dyn_extension(
                 stable, prev = 0, n
             log.info("bucketed round %d: %d live rows", it, n)
             it0_dev = it + 1
+            # exact host census: park finished rows off the per-round slab
+            # volume every 4 rounds and on any stable round — the over-HBM
+            # analog of the device loop's parking (each bucketed round
+            # re-uploads every live row, so shrinking the pool here pays at
+            # precisely the scale where rounds are most expensive; the
+            # reference shrinks its shuffle the same way via per-stage
+            # partition decay, ``Pipelines.java:877-974``). n_buckets is
+            # recomputed per round, so it decays with the pool.
+            if n and (it % 4 == 3 or stable >= 1):
+                fin = _finished_mask_host_exact(hp, max_sub)
+                nf = int(fin.sum())
+                if nf == n:
+                    # exact early stop: nothing left can ever merge
+                    _park_host_rows(hp, fin, parked)
+                    hp = tuple(a[:0] for a in hp)
+                    prev = n = 0
+                    it0_dev = max_rounds + 1
+                    log.info("bucketed census: all %d rows finished", nf)
+                elif nf > max(32, n // 16):
+                    _park_host_rows(hp, fin, parked)
+                    keep = ~fin
+                    hp = tuple(a[keep] for a in hp)
+                    prev = n = n - nf
+                    log.info("bucketed census: parked %d, %d live", nf, n)
             _loop_ckpt(
                 pd.PackedDynRecords(*hp, np.ones(len(hp[1]), bool)),
                 parked, it)
@@ -869,16 +893,23 @@ def _pdyn_round_bucketed_host(
             jnp.asarray(live_s), jnp.uint32(round_seed), kmin=kmin))[:n]
 
     # bucket count: smallest power of two with every bucket under 3/4 cap
-    # (exact occupancy is known up front, so overflow never needs a retry)
+    # (exact occupancy is known up front, so overflow never needs a retry).
+    # Doubling is BOUNDED: once n_buckets reaches next_pow2(N), any bucket
+    # still over cap is pure equal-hash skew (e.g. >cap rows sharing one
+    # repeat (kmin-1)-base window — equal keys hash identically at every
+    # width, so no split can ever separate them); those buckets get a
+    # one-off larger compiled program below instead of spinning here.
     n_buckets = max(1, next_pow2(-(-N // (cap * 3 // 4))))
+    max_buckets = max(n_buckets, next_pow2(max(N, 1)))
     while True:
         ids = h & np.uint32(n_buckets - 1)
         counts = np.bincount(ids, minlength=n_buckets)
-        if int(counts.max()) <= cap:
+        if int(counts.max()) <= cap or n_buckets >= max_buckets:
             break
         n_buckets *= 2
     order = np.argsort(ids, kind="stable")
     bounds = np.concatenate([[0], np.cumsum(counts)])
+    cap_max = int(os.environ.get("REFLEXIV_BUCKET_CAP_MAX", str(1 << 26)))
 
     parts = []
     total_live = 0
@@ -888,17 +919,28 @@ def _pdyn_round_bucketed_host(
         n = len(rows)
         if n == 0:
             continue
-        seq_s = np.zeros((cap, LW), np.uint32)
+        bcap = cap if n <= cap else next_pow2(n)
+        if bcap > cap_max:
+            raise RuntimeError(
+                f"bucketed extension round: {n} rows share one group-key "
+                f"hash bucket (> REFLEXIV_BUCKET_CAP_MAX={cap_max}) — "
+                "extreme repeat skew; raise REFLEXIV_BUCKET_CAP_MAX if the "
+                "device can hold a larger round program")
+        if bcap > cap:
+            log.warning(
+                "bucket %d holds %d equal-hash rows (> cap %d); running a "
+                "one-off %d-row round program", b, n, cap, bcap)
+        seq_s = np.zeros((bcap, LW), np.uint32)
         seq_s[:n] = seq[rows]
-        len_s = np.zeros(cap, np.int32)
+        len_s = np.zeros(bcap, np.int32)
         len_s[:n] = length[rows]
-        sub_s = np.ones(cap, np.int32)
+        sub_s = np.ones(bcap, np.int32)
         sub_s[:n] = subk[rows]
-        left_s = np.zeros(cap, np.int32)
+        left_s = np.zeros(bcap, np.int32)
         left_s[:n] = left[rows]
-        right_s = np.zeros(cap, np.int32)
+        right_s = np.zeros(bcap, np.int32)
         right_s[:n] = right[rows]
-        live_s = np.zeros(cap, bool)
+        live_s = np.zeros(bcap, bool)
         live_s[:n] = True
         slab = pd.PackedDynRecords(
             jnp.asarray(seq_s), jnp.asarray(len_s), jnp.asarray(sub_s),
@@ -926,6 +968,89 @@ def _pdyn_round_bucketed_host(
                    for i in range(5))
     need_out = int(top[0] + top[1])
     return new_hp, total_live, need_out
+
+
+def _finished_mask_host_exact(hp, max_sub: int):
+    """Pool-wide exact mixed-k extendability census of a host-resident pool.
+
+    numpy mirror of :func:`packed_dyn.finished_mask_pdyn_exact` — the same
+    trie-interval sweep (a record is finished when no live tail interval
+    intersects its head interval and vice versa), with the same conservative
+    semantics including self-hits — so the host-bucketed extension phase can
+    park finished rows without compiling a pool-sized device program.  The
+    census is global (intervals interact pool-wide), hence a host sweep and
+    not a per-bucket one: ``np.searchsorted`` over big-endian void views is
+    the lexicographic multi-limb compare.  All rows of ``hp`` are live by
+    construction.
+    """
+    from .packed import BASES_PER_LIMB, limbs_for
+
+    seq, length, subk = hp[0], hp[1], hp[2]
+    N = seq.shape[0]
+    if N == 0:
+        return np.zeros(0, bool)
+    W = limbs_for(max_sub)
+
+    padded = np.concatenate(
+        [seq, np.zeros((N, W + 1), np.uint32)], axis=1)
+    rows = np.arange(N)
+
+    def window(start):
+        q = start // BASES_PER_LIMB
+        o = (2 * (start % BASES_PER_LIMB)).astype(np.uint32)
+        out = np.empty((N, W), np.uint32)
+        for j in range(W):
+            a = padded[rows, q + j]
+            b = padded[rows, q + j + 1]
+            bs = b >> ((np.uint32(32) - o) & np.uint32(31))
+            out[:, j] = np.where(o > 0, (a << o) | bs, a)
+        rem = max_sub - BASES_PER_LIMB * (W - 1)
+        if rem < BASES_PER_LIMB:
+            out[:, W - 1] &= np.uint32(0xFFFFFFFF) << (32 - 2 * rem)
+        return out
+
+    head = window(np.zeros(N, np.int64))
+    tail = window(np.maximum(length.astype(np.int64) - subk, 0))
+
+    m = np.arange(W)[None, :]
+    bits = np.clip(
+        2 * (subk.astype(np.int64)[:, None] - BASES_PER_LIMB * m), 0, 32)
+    mask = np.where(
+        bits >= 32, 0xFFFFFFFF,
+        np.where(bits > 0,
+                 (np.int64(0xFFFFFFFF) << (32 - bits)) & 0xFFFFFFFF, 0),
+    ).astype(np.uint32)
+
+    def vbe(x):
+        y = np.ascontiguousarray(x.astype(">u4"))
+        return y.view(np.dtype((np.void, y.shape[1] * 4))).ravel()
+
+    h_lo, h_hi = vbe(head & mask), vbe(head | ~mask)
+    t_lo, t_hi = vbe(tail & mask), vbe(tail | ~mask)
+    head_hits = (
+        np.searchsorted(np.sort(t_lo), h_hi, side="right")
+        - np.searchsorted(np.sort(t_hi), h_lo, side="left"))
+    tail_hits = (
+        np.searchsorted(np.sort(h_lo), t_hi, side="right")
+        - np.searchsorted(np.sort(h_hi), t_lo, side="left"))
+    return (head_hits == 0) & (tail_hits == 0)
+
+
+def _park_host_rows(hp, fin, parked: list) -> None:
+    """Append rows flagged by ``fin`` to ``parked`` — the host analog of
+    :func:`packed_dyn.park_finished_pdyn` (same tuple layout, limbs trimmed
+    to the group's longest row)."""
+    from .packed import limbs_for
+
+    idx = np.nonzero(fin)[0]
+    if not len(idx):
+        return
+    len_b = hp[1][idx]
+    lim = limbs_for(int(len_b.max()))
+    parked.append((
+        hp[0][idx, :lim].copy(), len_b.copy(), hp[2][idx].copy(),
+        hp[3][idx].copy(), hp[4][idx].copy(),
+    ))
 
 
 # ---------------------------------------------------------------------------

@@ -116,8 +116,11 @@ def main():
         att_to = min(args.attempt_timeout, left)
         t0 = time.time()
         # full per-attempt logs on disk: the in-memory tail loses the
-        # exception body on long JAX tracebacks
-        att_log = f"/tmp/meta_scale_attempt{attempt}.log"
+        # exception body on long JAX tracebacks; keyed by checkpoint dir +
+        # pid so concurrent campaigns / reruns never interleave
+        os.makedirs(args.outdir, exist_ok=True)
+        att_log = os.path.join(
+            args.outdir, f"attempt{attempt}_{os.getpid()}.log")
         try:
             with open(att_log, "w") as lf:
                 proc = subprocess.run(

@@ -254,3 +254,80 @@ def test_dynamic_assembly_bucketed_big_pool_phase(monkeypatch):
     (c,) = canon
     assert len(c) >= 420
     assert c in genome or oracle.revcomp(c) in genome
+
+
+@pytest.mark.parametrize("klist,max_sub", [((5, 7, 9), 8), ((21, 31, 41), 40)])
+def test_host_census_matches_device_exact(klist, max_sub):
+    """``_finished_mask_host_exact`` (the bucketed phase's parking census)
+    must equal ``packed_dyn.finished_mask_pdyn_exact`` row for row on an
+    all-live pool — single-limb and multi-limb key widths."""
+    from reflexiv_tpu import packed_dyn as pd
+
+    rng = np.random.default_rng(31)
+    n = 256
+    ks = rng.choice(klist, size=n)
+    ext = rng.integers(1, 8, size=n)
+    length = (ks + ext).astype(np.int32)
+    seqb = np.zeros((n, 64), np.uint8)
+    for i in range(n):
+        seqb[i, :length[i]] = rng.integers(0, 4, size=length[i])
+    # clone some rows so real head/tail intersections exist
+    dup = rng.integers(0, n, size=n // 4)
+    seqb[dup // 2], length[dup // 2] = seqb[dup], length[dup]
+    ks[dup // 2] = ks[dup]
+    d = dynamic.DynRecords(
+        seqb, length, (ks - 1).astype(np.int32),
+        np.zeros(n, np.int32), np.zeros(n, np.int32), np.ones(n, bool))
+    p = pd.from_dyn_host(d)
+    keep = np.nonzero(np.asarray(p.live))[0]
+    want = np.asarray(pd.finished_mask_pdyn_exact(p, max_sub))[keep]
+    hp = (np.asarray(p.seq)[keep], np.asarray(p.length)[keep],
+          np.asarray(p.subk)[keep], np.asarray(p.left)[keep],
+          np.asarray(p.right)[keep])
+    got = dynamic._finished_mask_host_exact(hp, max_sub)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_bucketed_round_equal_hash_skew(monkeypatch):
+    """>cap rows sharing one group key must not spin the bucket-doubling
+    loop forever (ADVICE r4 medium): the skewed bucket gets a one-off
+    larger program and the round still matches the monolithic result."""
+    from reflexiv_tpu import packed_dyn as pd
+
+    rng = np.random.default_rng(7)
+    n, k = 96, 5
+    seqb = np.zeros((n, 32), np.uint8)
+    seqb[:, :12] = rng.integers(0, 4, size=12)   # every row identical
+    length = np.full(n, 12, np.int32)
+    d = dynamic.DynRecords(
+        seqb, length, np.full(n, k - 1, np.int32),
+        np.zeros(n, np.int32), np.zeros(n, np.int32), np.ones(n, bool))
+    p = pd.from_dyn_host(d)
+    mono, live_n, need_m = pd.pdyn_extension_round_fused(
+        p, jnp.uint32(3), kmin=k, max_sub=8, unique_only=False)
+    keep = np.nonzero(np.asarray(p.live))[0]
+    hp = (np.asarray(p.seq)[keep], np.asarray(p.length)[keep],
+          np.asarray(p.subk)[keep], np.asarray(p.left)[keep],
+          np.asarray(p.right)[keep])
+    monkeypatch.setenv("REFLEXIV_BUCKET_CAP", "16")
+    new_hp, total_live, need_b = dynamic._pdyn_round_bucketed_host(
+        hp, 3, kmin=k, max_sub=8, unique_only=False, need=24)
+
+    def multiset(sq, ls, sk, lf, rt):
+        return sorted(
+            (int(ls[i]), int(sk[i]), int(lf[i]), int(rt[i]), sq[i].tobytes())
+            for i in range(len(ls)))
+
+    got = multiset(*new_hp)
+    mkeep = np.nonzero(np.asarray(mono.live))[0]
+    want = multiset(
+        np.asarray(mono.seq)[mkeep], np.asarray(mono.length)[mkeep],
+        np.asarray(mono.subk)[mkeep], np.asarray(mono.left)[mkeep],
+        np.asarray(mono.right)[mkeep])
+    assert got == want and total_live == int(live_n)
+
+    # and a clear error (not an infinite loop) past the hard ceiling
+    monkeypatch.setenv("REFLEXIV_BUCKET_CAP_MAX", "64")
+    with pytest.raises(RuntimeError, match="repeat skew"):
+        dynamic._pdyn_round_bucketed_host(
+            hp, 3, kmin=k, max_sub=8, unique_only=False, need=24)
