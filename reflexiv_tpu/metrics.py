@@ -56,6 +56,12 @@ class Metrics:
     def add(self, name: str, n: int = 1) -> None:
         self.counts[name] = self.counts.get(name, 0) + int(n)
 
+    def add_time(self, name: str, dt: float) -> None:
+        """Accumulate a measured interval under ``name`` — the host-vs-
+        device sub-timers inside a stage (ingest wall, device dispatch
+        wall, input-stall wall) that the stage() bracket can't see."""
+        self.timers[name] = self.timers.get(name, 0.0) + dt
+
     def set(self, name: str, n: int) -> None:
         self.counts[name] = int(n)
 

@@ -173,3 +173,47 @@ def test_multi_k_streaming_matches_per_k(tmp_path):
             str(fq), k=k, min_cov=2, budget_bytes=32 << 10)
         assert table(*multi[k]) == table(*want), k
         assert len(multi[k][1]) > 50
+
+
+def test_prefetch_parity_and_exception_propagation(tmp_path, monkeypatch):
+    """The ingest prefetch thread (overlaps gzip/pack with device dispatch)
+    must change nothing but the wall clock: identical tables vs the serial
+    loop, ingest/stall sub-timers recorded, and a producer exception
+    re-raised in the consumer, not swallowed."""
+    import random
+
+    import pytest
+
+    from reflexiv_tpu import metrics
+    from reflexiv_tpu.count import (_PrefetchedChunks,
+                                    count_kmers_from_files)
+
+    rng = random.Random(5)
+    genome = "".join(rng.choice("ACGT") for _ in range(1500))
+    fq = tmp_path / "r.fq"
+    with open(fq, "w") as fh:
+        for i in range(1500):
+            s = rng.randrange(len(genome) - 70)
+            fh.write(f"@r{i}\n{genome[s:s+70]}\n+\n{'I'*70}\n")
+
+    monkeypatch.setenv("REFLEXIV_PREFETCH", "0")
+    serial = count_kmers_from_files(
+        str(fq), k=31, min_cov=2, budget_bytes=16 << 10)
+    monkeypatch.delenv("REFLEXIV_PREFETCH")
+    met = metrics.current()
+    met.timers.pop("count.ingest_s", None)
+    overlapped = count_kmers_from_files(
+        str(fq), k=31, min_cov=2, budget_bytes=16 << 10)
+    np.testing.assert_array_equal(serial[0], overlapped[0])
+    np.testing.assert_array_equal(serial[1], overlapped[1])
+    assert met.timers.get("count.ingest_s", 0) > 0
+    assert "count.input_stall_s" in met.timers
+    assert "count.device_loop_s" in met.timers
+
+    def boom():
+        yield (np.zeros((4, 40), np.uint8), np.full(4, 40, np.int32))
+        raise RuntimeError("ingest exploded")
+
+    it = _PrefetchedChunks(boom())
+    with pytest.raises(RuntimeError, match="ingest exploded"):
+        list(it)
