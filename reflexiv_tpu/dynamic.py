@@ -711,8 +711,16 @@ def run_dyn_extension(
     # ever sees one bucket slab. (The reference leans on Spark's shuffle
     # for the same reason — the full sort never sits on one executor,
     # ``Pipelines.java:877-974``.)
+    # threshold for leaving the bucketed phase = the largest monolithic
+    # round program the backend's compiler survives. On the remote-TPU
+    # tunnel the chipless AOT compile helper SIGKILLs well below HBM
+    # capacity (observed at 2^24 rows, round 5), so the TPU default stays
+    # at the 2M scale the round programs are proven at; CPU/dryrun keeps
+    # the wider threshold.
+    on_tpu = jax.devices()[0].platform == "tpu"
     bucket_rows = int(os.environ.get(
-        "REFLEXIV_BUCKET_ROUND_ROWS", str(12 << 20)))
+        "REFLEXIV_BUCKET_ROUND_ROWS", str((2 << 20) if on_tpu else
+                                          (12 << 20))))
     it0_dev = it0
     hp = None
     if prev > bucket_rows:
@@ -866,7 +874,13 @@ def _pdyn_round_bucketed_host(
 
     seq, length, subk, left, right = hp
     N = len(length)
-    cap = int(os.environ.get("REFLEXIV_BUCKET_CAP", str(1 << 24)))
+    # default bucket capacity 2^21: the remote compile helper SIGKILLs on
+    # the fused mixed-k round program at 2^24 rows (observed round 5, 10
+    # Mbp campaign — the compile-service memory wall scales with program
+    # capacity, and 2^24 was only ever proven for bare sorts); 1M-row
+    # rounds are measured on-chip (TPU_SESSION2), 2M keeps bucket count
+    # reasonable while staying near proven scale
+    cap = int(os.environ.get("REFLEXIV_BUCKET_CAP", str(1 << 21)))
 
     # limb growth for this round's merges (mirrors compact_grow_pdyn)
     need_limbs = next_pow2(limbs_for(max(need, 16)))
@@ -911,54 +925,80 @@ def _pdyn_round_bucketed_host(
     bounds = np.concatenate([[0], np.cumsum(counts)])
     cap_max = int(os.environ.get("REFLEXIV_BUCKET_CAP_MAX", str(1 << 26)))
 
+    def built_slabs():
+        """Host-side slab packing per bucket — pure numpy, so it can run in
+        the ingest prefetch thread while the device chews the previous
+        bucket."""
+        for b in range(n_buckets):
+            rows = order[bounds[b]:bounds[b + 1]]
+            n = len(rows)
+            if n == 0:
+                continue
+            bcap = cap if n <= cap else next_pow2(n)
+            if bcap > cap_max:
+                raise RuntimeError(
+                    f"bucketed extension round: {n} rows share one "
+                    f"group-key hash bucket (> REFLEXIV_BUCKET_CAP_MAX="
+                    f"{cap_max}) — extreme repeat skew; raise "
+                    "REFLEXIV_BUCKET_CAP_MAX if the device can hold a "
+                    "larger round program")
+            if bcap > cap:
+                log.warning(
+                    "bucket %d holds %d equal-hash rows (> cap %d); "
+                    "running a one-off %d-row round program", b, n, cap,
+                    bcap)
+            seq_s = np.zeros((bcap, LW), np.uint32)
+            seq_s[:n] = seq[rows]
+            len_s = np.zeros(bcap, np.int32)
+            len_s[:n] = length[rows]
+            sub_s = np.ones(bcap, np.int32)
+            sub_s[:n] = subk[rows]
+            left_s = np.zeros(bcap, np.int32)
+            left_s[:n] = left[rows]
+            right_s = np.zeros(bcap, np.int32)
+            right_s[:n] = right[rows]
+            live_s = np.zeros(bcap, bool)
+            live_s[:n] = True
+            yield (seq_s, len_s, sub_s, left_s, right_s, live_s)
+
     parts = []
     total_live = 0
     top = np.zeros(2, np.int64)    # two longest live records, pool-wide
-    for b in range(n_buckets):
-        rows = order[bounds[b]:bounds[b + 1]]
-        n = len(rows)
-        if n == 0:
-            continue
-        bcap = cap if n <= cap else next_pow2(n)
-        if bcap > cap_max:
-            raise RuntimeError(
-                f"bucketed extension round: {n} rows share one group-key "
-                f"hash bucket (> REFLEXIV_BUCKET_CAP_MAX={cap_max}) — "
-                "extreme repeat skew; raise REFLEXIV_BUCKET_CAP_MAX if the "
-                "device can hold a larger round program")
-        if bcap > cap:
-            log.warning(
-                "bucket %d holds %d equal-hash rows (> cap %d); running a "
-                "one-off %d-row round program", b, n, cap, bcap)
-        seq_s = np.zeros((bcap, LW), np.uint32)
-        seq_s[:n] = seq[rows]
-        len_s = np.zeros(bcap, np.int32)
-        len_s[:n] = length[rows]
-        sub_s = np.ones(bcap, np.int32)
-        sub_s[:n] = subk[rows]
-        left_s = np.zeros(bcap, np.int32)
-        left_s[:n] = left[rows]
-        right_s = np.zeros(bcap, np.int32)
-        right_s[:n] = right[rows]
-        live_s = np.zeros(bcap, bool)
-        live_s[:n] = True
-        slab = pd.PackedDynRecords(
-            jnp.asarray(seq_s), jnp.asarray(len_s), jnp.asarray(sub_s),
-            jnp.asarray(left_s), jnp.asarray(right_s), jnp.asarray(live_s))
-        out, _live_n, _need = pd.pdyn_extension_round_fused(
-            slab, jnp.uint32(round_seed), kmin=kmin, max_sub=max_sub,
-            unique_only=unique_only)
+
+    def collect(out):
+        nonlocal total_live, top
         olive = np.asarray(out.live)
         keep = np.nonzero(olive)[0]
         part = (np.asarray(out.seq)[keep], np.asarray(out.length)[keep],
                 np.asarray(out.subk)[keep], np.asarray(out.left)[keep],
                 np.asarray(out.right)[keep])
-        del slab, out
         parts.append(part)
         total_live += len(keep)
         if len(keep):
             t = np.sort(np.partition(part[1], -min(2, len(keep)))[-2:])
             top = np.sort(np.concatenate([top, t.astype(np.int64)]))[-2:]
+
+    # three-way pipeline over the tunnel: the prefetch thread packs bucket
+    # b+1 while the device runs bucket b, and bucket b-1's result is
+    # fetched only after bucket b is enqueued (the device executes in
+    # order, so the deferred fetch overlaps b's compute with b-1's
+    # download instead of serializing upload->compute->download per
+    # bucket).
+    slab_iter = built_slabs()
+    if os.environ.get("REFLEXIV_PREFETCH", "1") != "0":
+        slab_iter = count_mod._PrefetchedChunks(slab_iter)
+    pending = None
+    for arrs in slab_iter:
+        slab = pd.PackedDynRecords(*(jnp.asarray(a) for a in arrs))
+        out, _live_n, _need = pd.pdyn_extension_round_fused(
+            slab, jnp.uint32(round_seed), kmin=kmin, max_sub=max_sub,
+            unique_only=unique_only)
+        if pending is not None:
+            collect(pending)
+        del slab
+        pending = out
+    if pending is not None:
+        collect(pending)
 
     if not parts:
         empty = (np.zeros((0, LW), np.uint32),) + tuple(
