@@ -736,10 +736,23 @@ def run_dyn_extension(
                   np.asarray(p.right)[idxh])
             p = None
         del idxh, live_h
+        # indexed mode (default): the device sorts fixed-width summaries
+        # and returns merge instructions; the pool bytes never leave host
+        # RAM. One compiled program serves every round — the legacy mode
+        # re-compiles (and re-uploads) at every limb-width doubling, which
+        # stalled the round-5 campaign for tens of minutes per growth step
+        # on the remote-AOT tunnel.
+        indexed = os.environ.get("REFLEXIV_INDEXED_ROUNDS", "1") != "0"
+        summ = _host_summaries(hp, max_sub) if indexed else None
         for it in range(it0_dev, max_rounds + 1):
-            hp, n, need = _pdyn_round_bucketed_host(
-                hp, seed + it, kmin=kmin, max_sub=max_sub,
-                unique_only=unique_only, need=need)
+            if indexed:
+                hp, summ, n, need = _pdyn_round_indexed_host(
+                    hp, summ, seed + it, kmin=kmin, max_sub=max_sub,
+                    unique_only=unique_only, need=need)
+            else:
+                hp, n, need = _pdyn_round_bucketed_host(
+                    hp, seed + it, kmin=kmin, max_sub=max_sub,
+                    unique_only=unique_only, need=need)
             if n == prev:
                 stable += 1
             else:
@@ -761,6 +774,8 @@ def run_dyn_extension(
                     # exact early stop: nothing left can ever merge
                     _park_host_rows(hp, fin, parked)
                     hp = tuple(a[:0] for a in hp)
+                    if indexed:
+                        summ = tuple(a[:0] for a in summ)
                     prev = n = 0
                     it0_dev = max_rounds + 1
                     log.info("bucketed census: all %d rows finished", nf)
@@ -768,6 +783,8 @@ def run_dyn_extension(
                     _park_host_rows(hp, fin, parked)
                     keep = ~fin
                     hp = tuple(a[keep] for a in hp)
+                    if indexed:
+                        summ = tuple(a[keep] for a in summ)
                     prev = n = n - nf
                     log.info("bucketed census: parked %d, %d live", nf, n)
             _loop_ckpt(
@@ -1010,6 +1027,269 @@ def _pdyn_round_bucketed_host(
     return new_hp, total_live, need_out
 
 
+def _host_window(seq: np.ndarray, start: np.ndarray, width: int):
+    """numpy mirror of :func:`packed.extract_window`: left-aligned packed
+    window of ``width`` bases from per-row ``start`` over (N, LW) uint32
+    limb rows (zeros past row data, exactly like the device funnel)."""
+    from .packed import BASES_PER_LIMB, limbs_for
+
+    N = seq.shape[0]
+    W = limbs_for(width)
+    padded = np.concatenate([seq, np.zeros((N, W + 1), np.uint32)], axis=1)
+    rows = np.arange(N)
+    q = start // BASES_PER_LIMB
+    o = (2 * (start % BASES_PER_LIMB)).astype(np.uint32)
+    out = np.empty((N, W), np.uint32)
+    for j in range(W):
+        a = padded[rows, q + j]
+        b = padded[rows, q + j + 1]
+        bs = b >> ((np.uint32(32) - o) & np.uint32(31))
+        out[:, j] = np.where(o > 0, (a << o) | bs, a)
+    rem = width - BASES_PER_LIMB * (W - 1)
+    if rem < BASES_PER_LIMB:
+        out[:, W - 1] &= np.uint32(0xFFFFFFFF) << (32 - 2 * rem)
+    return out
+
+
+def _mix32_np(x: np.ndarray) -> np.ndarray:
+    """numpy mirror of :func:`bitpack.mix32` (murmur3 finalizer), exact to
+    the bit so host-drawn markers equal device-drawn ones."""
+    x = x.astype(np.uint64) & 0xFFFFFFFF
+    x ^= x >> 16
+    x = (x * 0x85EBCA6B) & 0xFFFFFFFF
+    x ^= x >> 13
+    x = (x * 0xC2B2AE35) & 0xFFFFFFFF
+    x ^= x >> 16
+    return x.astype(np.uint32)
+
+
+def _host_summaries(hp, max_sub: int):
+    """Fixed-width per-row summaries for the indexed round: head/tail
+    sub-kmer windows (``limbs_for(max_sub)`` limbs each) plus the
+    first/last-16-base limbs the marker draw hashes (computed exactly like
+    :func:`packed_dyn.draw_markers_pdyn` does)."""
+    from .packed import BASES_PER_LIMB
+
+    seq, length, subk = hp[0], hp[1], hp[2]
+    N = seq.shape[0]
+    start0 = np.zeros(N, np.int64)
+    head = _host_window(seq, start0, max_sub)
+    tailw = _host_window(
+        seq, np.maximum(length.astype(np.int64) - subk, 0), max_sub)
+    base_cap = seq.shape[1] * BASES_PER_LIMB
+    n16 = min(16, base_cap)
+    h16 = _host_window(seq, start0, n16)[:, 0]
+    t16 = _host_window(
+        seq, np.maximum(length.astype(np.int64) - n16, 0), n16)[:, 0]
+    if n16 < BASES_PER_LIMB:
+        h16 = h16 >> np.uint32(32 - 2 * n16)
+        t16 = t16 >> np.uint32(32 - 2 * n16)
+    return (head, tailw, h16, t16)
+
+
+def _host_concat_packed(seq_a, len_a, seq_b, len_b, skip, out_limbs: int):
+    """numpy mirror of :func:`packed.concat`: per-row ``a ++ b[skip:]`` on
+    packed limb rows (same funnel construction; preserves the
+    zero-beyond-length invariant). Returns (out (M, out_limbs), total)."""
+    from .packed import BASES_PER_LIMB
+
+    M = len(len_a)
+    total = (len_a + len_b - skip).astype(np.int32)
+    out = np.zeros((M, out_limbs), np.uint32)
+    la = min(seq_a.shape[1], out_limbs)
+    out[:, :la] = seq_a[:, :la]
+    padded_b = np.concatenate(
+        [seq_b, np.zeros((M, 2), np.uint32)], axis=1)
+    LB = seq_b.shape[1]
+    rows = np.arange(M)
+    len_a64 = len_a.astype(np.int64)
+    for m in range(out_limbs):
+        base0 = m * BASES_PER_LIMB
+        bpos = np.maximum(base0 - len_a64, 0) + skip
+        q = np.minimum(bpos // BASES_PER_LIMB, LB)
+        o = (2 * (bpos % BASES_PER_LIMB)).astype(np.uint32)
+        a_ = padded_b[rows, q]
+        b_ = padded_b[rows, q + 1]
+        bs = b_ >> ((np.uint32(32) - o) & np.uint32(31))
+        pb = np.where(o > 0, (a_ << o) | bs, a_)
+        shift = (2 * np.clip(len_a64 - base0, 0, BASES_PER_LIMB)
+                 ).astype(np.uint32)
+        pb = np.where(shift >= 32, 0,
+                      pb >> np.minimum(shift, np.uint32(31)))
+        valid = np.clip(total.astype(np.int64) - base0, 0, BASES_PER_LIMB)
+        mask = np.where(
+            valid >= BASES_PER_LIMB, 0xFFFFFFFF,
+            np.where(valid > 0,
+                     (np.int64(0xFFFFFFFF) << (32 - 2 * valid)) & 0xFFFFFFFF,
+                     0)).astype(np.uint32)
+        out[:, m] = (out[:, m] | pb) & mask
+    return out, total
+
+
+def _pdyn_round_indexed_host(
+    hp, summ, round_seed: int, *, kmin: int, max_sub: int,
+    unique_only: bool, need: int,
+):
+    """One mixed-k extension round with the pool bytes HOST-resident: the
+    device only ever sees fixed-width summary slabs
+    (:func:`packed_dyn.pdyn_round_indexed`), the host applies the merge
+    splices in numpy. One compiled program serves every round regardless
+    of record length; per-round transfer is ~(2*limbs_for(max_sub)+7)*4
+    bytes/row instead of the full packed sequence.
+
+    ``summ`` is ``(head, tailw, h16, t16)`` from :func:`_host_summaries`,
+    maintained incrementally (merged rows recomputed, others carried).
+    Returns ``(hp', summ', live_n, need')``.
+    """
+    from . import count as count_mod
+    from . import packed_dyn as pd
+    from .packed import limbs_for
+    from .records import next_pow2
+
+    seq, length, subk, left, right = hp
+    head, tailw, h16, t16 = summ
+    N = len(length)
+    if N == 0:
+        return hp, summ, 0, int(need)
+    cap = int(os.environ.get("REFLEXIV_BUCKET_CAP", str(1 << 21)))
+    cap_max = int(os.environ.get("REFLEXIV_BUCKET_CAP_MAX", str(1 << 26)))
+    SW = head.shape[1]
+
+    # marker draw on host — bit-identical to the device formula so bucket
+    # routing (by the marker-oriented group key) matches the device's view
+    salt = np.uint32((int(round_seed) * 0x9E3779B9) & 0xFFFFFFFF)
+    rot = (t16 << np.uint32(16)) | (t16 >> np.uint32(16))
+    hmix = _mix32_np(h16 ^ rot ^ length.astype(np.uint32) ^ salt)
+    marker = 1 + (hmix & np.uint32(1)).astype(np.int32)
+
+    Wp = limbs_for(kmin - 1)
+    keys = np.where((marker == 1)[:, None], head[:, :Wp],
+                    tailw[:, :Wp]).astype(np.uint32)
+    rem = (kmin - 1) - 16 * (Wp - 1)
+    if rem < 16:
+        keys[:, Wp - 1] &= np.uint32(
+            (0xFFFFFFFF << (32 - 2 * rem)) & 0xFFFFFFFF)
+    kh = np.full(N, salt, np.uint32)
+    for j in range(Wp):
+        kh = _mix32_np(kh ^ keys[:, j])
+
+    # bucket count: bounded doubling (equal-hash skew gets a one-off
+    # larger program) — same policy as _pdyn_round_bucketed_host
+    n_buckets = max(1, next_pow2(-(-N // (cap * 3 // 4))))
+    max_buckets = max(n_buckets, next_pow2(max(N, 1)))
+    while True:
+        ids = kh & np.uint32(n_buckets - 1)
+        counts = np.bincount(ids, minlength=n_buckets)
+        if int(counts.max()) <= cap or n_buckets >= max_buckets:
+            break
+        n_buckets *= 2
+    order = np.argsort(ids, kind="stable")
+    bounds = np.concatenate([[0], np.cumsum(counts)])
+
+    def built_slabs():
+        for b in range(n_buckets):
+            rows = order[bounds[b]:bounds[b + 1]]
+            n = len(rows)
+            if n == 0:
+                continue
+            bcap = cap if n <= cap else next_pow2(n)
+            if bcap > cap_max:
+                raise RuntimeError(
+                    f"indexed extension round: {n} rows share one "
+                    f"group-key hash bucket (> REFLEXIV_BUCKET_CAP_MAX="
+                    f"{cap_max}) — extreme repeat skew")
+            hd = np.zeros((bcap, SW), np.uint32)
+            hd[:n] = head[rows]
+            tl = np.zeros((bcap, SW), np.uint32)
+            tl[:n] = tailw[rows]
+            a16 = np.zeros(bcap, np.uint32)
+            a16[:n] = h16[rows]
+            b16 = np.zeros(bcap, np.uint32)
+            b16[:n] = t16[rows]
+            ln = np.zeros(bcap, np.int32)
+            ln[:n] = length[rows]
+            sk = np.ones(bcap, np.int32)
+            sk[:n] = subk[rows]
+            lf = np.zeros(bcap, np.int32)
+            lf[:n] = left[rows]
+            rt = np.zeros(bcap, np.int32)
+            rt[:n] = right[rows]
+            lv = np.zeros(bcap, bool)
+            lv[:n] = True
+            oid = np.full(bcap, -1, np.int32)
+            oid[:n] = rows
+            yield (hd, tl, a16, b16, ln, sk, lf, rt, lv, oid)
+
+    act = np.zeros(N, np.int8)
+    part = np.full(N, -1, np.int64)
+    nl = np.zeros(N, np.int32)
+    nr = np.zeros(N, np.int32)
+
+    def collect(outs):
+        soid, action, partner, nlv, nrv = (np.asarray(x) for x in outs)
+        m = (soid >= 0) & (action > 0)
+        ids_m = soid[m]
+        act[ids_m] = action[m].astype(np.int8)
+        part[ids_m] = partner[m]
+        nl[ids_m] = nlv[m]
+        nr[ids_m] = nrv[m]
+
+    slab_iter = built_slabs()
+    if os.environ.get("REFLEXIV_PREFETCH", "1") != "0":
+        slab_iter = count_mod._PrefetchedChunks(slab_iter)
+    pending = None
+    for arrs in slab_iter:
+        outs = pd.pdyn_round_indexed(
+            *(jnp.asarray(a) for a in arrs), jnp.uint32(round_seed),
+            kmin=kmin, max_sub=max_sub, unique_only=unique_only)
+        if pending is not None:
+            collect(pending)
+        pending = outs
+    if pending is not None:
+        collect(pending)
+
+    f_idx = np.nonzero(act == 1)[0]
+    r_idx = part[f_idx]
+    keep_idx = np.nonzero(act == 0)[0]
+    if len(f_idx):
+        skip = subk[r_idx]
+        tot = (length[r_idx].astype(np.int64) + length[f_idx] - skip)
+        out_limbs = limbs_for(int(tot.max()))
+        mseq, mlen = _host_concat_packed(
+            seq[r_idx], length[r_idx], seq[f_idx], length[f_idx], skip,
+            out_limbs)
+        mh, mt, mh16, mt16 = _host_summaries(
+            (mseq, mlen, subk[f_idx]), max_sub)
+    else:
+        out_limbs = 0
+        mseq = np.zeros((0, 1), np.uint32)
+        mlen = np.zeros(0, np.int32)
+        mh = np.zeros((0, SW), np.uint32)
+        mt = np.zeros((0, SW), np.uint32)
+        mh16 = mt16 = np.zeros(0, np.uint32)
+
+    LWn = max(seq.shape[1], out_limbs)
+    n_new = len(keep_idx) + len(f_idx)
+    nseq = np.zeros((n_new, LWn), np.uint32)
+    nseq[:len(keep_idx), :seq.shape[1]] = seq[keep_idx]
+    if len(f_idx):
+        nseq[len(keep_idx):, :out_limbs] = mseq
+    nlen = np.concatenate([length[keep_idx], mlen]).astype(np.int32)
+    nsub = np.concatenate([subk[keep_idx], subk[f_idx]]).astype(np.int32)
+    nleft = np.concatenate([left[keep_idx], nl[f_idx]]).astype(np.int32)
+    nright = np.concatenate([right[keep_idx], nr[f_idx]]).astype(np.int32)
+    nsum = (np.concatenate([head[keep_idx], mh]),
+            np.concatenate([tailw[keep_idx], mt]),
+            np.concatenate([h16[keep_idx], mh16]),
+            np.concatenate([t16[keep_idx], mt16]))
+    if n_new >= 2:
+        top2 = np.partition(nlen, n_new - 2)[-2:]
+        need_out = int(top2[0]) + int(top2[1])
+    else:
+        need_out = int(nlen.max()) if n_new else int(need)
+    return (nseq, nlen, nsub, nleft, nright), nsum, n_new, need_out
+
+
 def _finished_mask_host_exact(hp, max_sub: int):
     """Pool-wide exact mixed-k extendability census of a host-resident pool.
 
@@ -1031,26 +1311,9 @@ def _finished_mask_host_exact(hp, max_sub: int):
         return np.zeros(0, bool)
     W = limbs_for(max_sub)
 
-    padded = np.concatenate(
-        [seq, np.zeros((N, W + 1), np.uint32)], axis=1)
-    rows = np.arange(N)
-
-    def window(start):
-        q = start // BASES_PER_LIMB
-        o = (2 * (start % BASES_PER_LIMB)).astype(np.uint32)
-        out = np.empty((N, W), np.uint32)
-        for j in range(W):
-            a = padded[rows, q + j]
-            b = padded[rows, q + j + 1]
-            bs = b >> ((np.uint32(32) - o) & np.uint32(31))
-            out[:, j] = np.where(o > 0, (a << o) | bs, a)
-        rem = max_sub - BASES_PER_LIMB * (W - 1)
-        if rem < BASES_PER_LIMB:
-            out[:, W - 1] &= np.uint32(0xFFFFFFFF) << (32 - 2 * rem)
-        return out
-
-    head = window(np.zeros(N, np.int64))
-    tail = window(np.maximum(length.astype(np.int64) - subk, 0))
+    head = _host_window(seq, np.zeros(N, np.int64), max_sub)
+    tail = _host_window(
+        seq, np.maximum(length.astype(np.int64) - subk, 0), max_sub)
 
     m = np.arange(W)[None, :]
     bits = np.clip(

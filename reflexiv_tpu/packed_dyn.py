@@ -596,3 +596,109 @@ def compact_grow_pdyn(
         seq, p.length[take], p.subk[take],
         p.left[take], p.right[take], p.live[take],
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kmin", "max_sub", "unique_only"))
+def pdyn_round_indexed(
+    head, tailw, head16, tail16, length, subk, left, right, live, oid,
+    round_seed, *, kmin: int, max_sub: int, unique_only: bool = False,
+):
+    """One mixed-k join round over fixed-width row SUMMARIES — the device
+    half of the host-resident bucketed phase.
+
+    The fused round's program size (and remote compile time, and HBM
+    footprint) grows with the pool's limb width because the variadic sort
+    carries the full packed sequence as payload; on the remote-TPU tunnel
+    the chipless AOT compiler SIGKILLs past ~16M-row shapes and takes tens
+    of minutes once records grow past a few hundred bases (round-5 10 Mbp
+    campaign). But the JOIN DECISION only ever reads fixed-width state:
+    the (kmin-1)-base group window, the <= max_sub-base head/tail sub-kmer
+    windows, length, subk and the two end attrs. This kernel sorts exactly
+    that summary (2*limbs_for(max_sub)+7 u32 columns per row, independent
+    of record length) and returns per-row merge instructions; the host
+    owns the bytes and applies the splices (numpy streams at memory
+    bandwidth). One program shape serves every round of every campaign.
+    The reference's analog is the row-object shuffle feeding
+    ``reflexivExtend`` (``ReflexivDSDynamicKmerIteration.java:465``).
+
+    The marker draw is bit-identical to :func:`draw_markers_pdyn` given
+    ``head16``/``tail16`` computed the way that function computes them.
+    ``oid`` is the host row id (< 0 on padding rows). Returns
+    ``(oid_sorted, action, partner, new_left, new_right)`` in sorted
+    order: action 1 = this row absorbs ``partner`` (splice partner_seq ++
+    this_seq[partner_subk:]), 2 = this row was absorbed, 0 = unchanged.
+    """
+    from .join_core import segmented_fill
+
+    N, SW = head.shape
+    gw = kmin - 1
+    Wp = limbs_for(gw)
+
+    salt = jnp.asarray(round_seed).astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+    h = mix32(
+        head16 ^ ((tail16 << 16) | (tail16 >> 16))
+        ^ length.astype(jnp.uint32) ^ salt)
+    marker = jnp.where(live, 1 + (h & 1).astype(jnp.int32), 0)
+
+    keys = jnp.where((marker == 1)[:, None], head[:, :Wp], tailw[:, :Wp])
+    rem = gw - BASES_PER_LIMB * (Wp - 1)
+    if rem < BASES_PER_LIMB:
+        keys = keys.at[:, Wp - 1].set(
+            keys[:, Wp - 1] & (jnp.uint32(0xFFFFFFFF) << (32 - 2 * rem)))
+    keys = jnp.where(live[:, None], keys, jnp.uint32(0xFFFFFFFF))
+
+    idx = jnp.arange(N, dtype=jnp.int32)
+    ops = jax.lax.sort(
+        tuple(keys[:, i] for i in range(Wp)) + (marker,)
+        + tuple(head[:, i] for i in range(SW))
+        + tuple(tailw[:, i] for i in range(SW))
+        + (length, subk, left, right, live, oid),
+        num_keys=Wp + 1)
+    skey = jnp.stack(ops[:Wp], axis=-1)
+    smarker = ops[Wp]
+    off = Wp + 1
+    shead = ops[off: off + SW]
+    stail = ops[off + SW: off + 2 * SW]
+    slen, ssub, sleft, sright, slive, soid = ops[off + 2 * SW:]
+
+    prev = jnp.roll(skey, 1, axis=0)
+    is_start = jnp.any(skey != prev, axis=1).at[0].set(True)
+    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+
+    fstart = is_start & (smarker == 1) & slive
+    prev_m = jnp.roll(smarker, 1).at[0].set(0)
+    rstart = slive & (smarker == 2) & (is_start | (prev_m != 2))
+    fvalid, (f_left, f_right, f_len, f_sub, pos_f, f_oid, *f_head_cols) = \
+        segmented_fill(
+            fstart, seg,
+            (sleft, sright, slen, ssub, idx, soid) + tuple(shead))
+    rvalid, (r_left, r_right, r_len, r_sub, pos_r, r_oid, *r_tail_cols) = \
+        segmented_fill(
+            rstart, seg,
+            (sleft, sright, slen, ssub, idx, soid) + tuple(stail),
+            reverse=True)
+    has_pair = fvalid & rvalid
+    f_head = jnp.stack(f_head_cols, axis=-1)
+    r_tail = jnp.stack(r_tail_cols, axis=-1)
+    if unique_only:
+        nxt = jnp.where(is_start, idx, N)
+        next_start = jnp.roll(
+            jax.lax.cummin(nxt, reverse=True), -1).at[-1].set(N)
+        has_pair = has_pair & (pos_r - pos_f == 1) & (next_start - pos_r == 1)
+
+    f_ext = f_len - f_sub
+    r_ext = r_len - r_sub
+    extra = f_sub - r_sub
+    prefix_ok = masked_prefix_eq(f_head, r_tail, r_sub) & (r_sub <= f_sub)
+    gate = merge_gate(
+        f_left, f_right, r_left, r_right, f_ext, r_ext, extra=extra)
+    merge = has_pair & prefix_ok & gate.merge
+
+    i_am_fwd = merge & fstart
+    i_am_refl = merge & rstart
+    action = jnp.where(i_am_fwd, 1, jnp.where(i_am_refl, 2, 0))
+    partner = jnp.where(i_am_fwd, r_oid, -1)
+    new_left = jnp.where(i_am_fwd, gate.new_left, sleft)
+    new_right = jnp.where(i_am_fwd, gate.new_right, sright)
+    return soid, action, partner, new_left, new_right

@@ -159,7 +159,11 @@ def main():
 
     import glob as _glob
 
-    parts = sorted(_glob.glob(os.path.join(args.outdir, "part-*")))
+    # meta writes the contig set under <outfile>/Assembly (reference layout,
+    # Pipelines.java:1271); older runs wrote part-* at the root — accept both
+    parts = sorted(
+        _glob.glob(os.path.join(args.outdir, "Assembly", "part-*"))
+        or _glob.glob(os.path.join(args.outdir, "part-*")))
     contigs = []
     for p in parts:
         contigs.extend(s.decode() for _, s in iter_fasta([p]))

@@ -331,3 +331,95 @@ def test_bucketed_round_equal_hash_skew(monkeypatch):
     with pytest.raises(RuntimeError, match="repeat skew"):
         dynamic._pdyn_round_bucketed_host(
             hp, 3, kmin=k, max_sub=8, unique_only=False, need=24)
+
+
+def test_host_concat_packed_matches_device():
+    """numpy splice mirror == packed.concat on random packed rows."""
+    from reflexiv_tpu.packed import concat, limbs_for, pack_seq_matrix
+
+    rng = np.random.default_rng(3)
+    M, cap = 64, 96
+    la = rng.integers(5, cap - 1, M).astype(np.int32)
+    lb = rng.integers(5, cap - 1, M).astype(np.int32)
+    skip = np.minimum(rng.integers(0, 30, M), lb - 1).astype(np.int32)
+
+    def mk(lens):
+        b = np.zeros((M, cap), np.uint8)
+        for i in range(M):
+            b[i, :lens[i]] = rng.integers(0, 4, lens[i])
+        return np.asarray(pack_seq_matrix(jnp.asarray(b)))
+
+    a_, b_ = mk(la), mk(lb)
+    out_limbs = limbs_for(int((la + lb - skip).max()))
+    want_seq, want_len = concat(
+        jnp.asarray(a_), jnp.asarray(la), jnp.asarray(b_), jnp.asarray(lb),
+        jnp.asarray(skip), out_limbs)
+    got_seq, got_len = dynamic._host_concat_packed(
+        a_, la, b_, lb, skip, out_limbs)
+    np.testing.assert_array_equal(got_seq, np.asarray(want_seq))
+    np.testing.assert_array_equal(got_len, np.asarray(want_len))
+
+
+@pytest.mark.parametrize("klist,max_sub,unique_only", [
+    ((5, 7, 9), 8, False), ((21, 31, 41), 40, False), ((5, 7, 9), 8, True),
+])
+def test_indexed_round_matches_monolithic(klist, max_sub, unique_only,
+                                          monkeypatch):
+    """The summary-indexed host round (device sees fixed-width summaries,
+    host splices bytes) must equal the monolithic fused round as a
+    multiset of live records — same marker draw, same joins, same attrs —
+    across bucket boundaries and limb widths."""
+    from reflexiv_tpu import packed_dyn as pd
+
+    rng = np.random.default_rng(11)
+    kmin = min(klist)
+    n = 384
+    ks = rng.choice(klist, size=n)
+    ext = rng.integers(1, 8, size=n)
+    length = (ks + ext).astype(np.int32)
+    seqb = np.zeros((n, 64), np.uint8)
+    for i in range(n):
+        seqb[i, :length[i]] = rng.integers(0, 4, size=length[i])
+    dup = rng.integers(0, n, size=n // 2)
+    seqb[dup // 2], length[dup // 2] = seqb[dup], length[dup]
+    ks[dup // 2] = ks[dup]
+    d = dynamic.DynRecords(
+        seqb, length, (ks - 1).astype(np.int32),
+        np.full(n, -1, np.int32), np.full(n, -1, np.int32),
+        np.ones(n, bool))
+    p = pd.from_dyn_host(d)
+    seed_it = 29
+    mono, live_n, need_m = pd.pdyn_extension_round_fused(
+        p, jnp.uint32(seed_it), kmin=kmin, max_sub=max_sub,
+        unique_only=unique_only)
+
+    keep = np.nonzero(np.asarray(p.live))[0]
+    hp = (np.asarray(p.seq)[keep], np.asarray(p.length)[keep],
+          np.asarray(p.subk)[keep], np.asarray(p.left)[keep],
+          np.asarray(p.right)[keep])
+    summ = dynamic._host_summaries(hp, max_sub)
+    monkeypatch.setenv("REFLEXIV_BUCKET_CAP", "64")   # force many buckets
+    nhp, nsum, n_live, need_i = dynamic._pdyn_round_indexed_host(
+        hp, summ, seed_it, kmin=kmin, max_sub=max_sub,
+        unique_only=unique_only, need=int(length.max()) * 2)
+
+    def multiset(sq, ls, sk, lf, rt):
+        W = sq.shape[1]
+        return sorted(
+            (int(ls[i]), int(sk[i]), int(lf[i]), int(rt[i]),
+             sq[i].tobytes().rstrip(b"\0"))
+            for i in range(len(ls)))
+
+    got = multiset(*nhp)
+    mkeep = np.nonzero(np.asarray(mono.live))[0]
+    want = multiset(
+        np.asarray(mono.seq)[mkeep], np.asarray(mono.length)[mkeep],
+        np.asarray(mono.subk)[mkeep], np.asarray(mono.left)[mkeep],
+        np.asarray(mono.right)[mkeep])
+    assert got == want
+    assert n_live == int(live_n)
+    assert need_i == int(need_m)
+    # maintained summaries must equal fresh ones (incremental correctness)
+    fresh = dynamic._host_summaries(nhp, max_sub)
+    for a, b in zip(nsum, fresh):
+        np.testing.assert_array_equal(a, b)
