@@ -721,9 +721,17 @@ def run_dyn_extension(
     bucket_rows = int(os.environ.get(
         "REFLEXIV_BUCKET_ROUND_ROWS", str((2 << 20) if on_tpu else
                                           (12 << 20))))
+    # On TPU, the indexed host loop is the default at EVERY pool size (not
+    # just over-threshold): the monolithic device loop recompiles at each
+    # limb-width doubling as records grow, and on the remote-AOT tunnel
+    # one such compile stalled 25+ minutes (round-5 campaign) — the
+    # fixed-width indexed program never recompiles. CPU keeps the device
+    # pool loop (compiles are cheap there and tests pin both paths).
+    indexed_always = os.environ.get(
+        "REFLEXIV_INDEXED_ALWAYS", "1" if on_tpu else "0") != "0"
     it0_dev = it0
     hp = None
-    if prev > bucket_rows:
+    if prev > bucket_rows or indexed_always:
         if p is None:
             live_h = np.asarray(p_host[5])
             idxh = np.nonzero(live_h)[0]
@@ -790,14 +798,19 @@ def run_dyn_extension(
             _loop_ckpt(
                 pd.PackedDynRecords(*hp, np.ones(len(hp[1]), bool)),
                 parked, it)
-            if prev <= bucket_rows:
+            if prev <= bucket_rows and not indexed_always:
                 break
             if it >= params.min_iterations and stable >= 12:
-                # fixpoint while still over-threshold: skip the device
-                # loop (its monolithic round would not compile at this
-                # capacity) and finish from the host pool
+                # fixpoint: skip the device loop (under indexed_always it
+                # is never wanted; over-threshold its monolithic round
+                # would not compile) and finish from the host pool
                 it0_dev = max_rounds + 1
                 break
+        if indexed_always:
+            # the indexed loop ran to its own stop — never hand the pool
+            # to the monolithic device loop (each limb-width growth there
+            # is a fresh multi-minute remote compile)
+            it0_dev = max_rounds + 1
     if p is None:
         if hp is not None:
             n_h = len(hp[1])
@@ -1153,6 +1166,13 @@ def _pdyn_round_indexed_host(
         return hp, summ, 0, int(need)
     cap = int(os.environ.get("REFLEXIV_BUCKET_CAP", str(1 << 21)))
     cap_max = int(os.environ.get("REFLEXIV_BUCKET_CAP_MAX", str(1 << 26)))
+    # small pools use a smaller slab tier so late rounds don't pad a few
+    # thousand live rows to the full 2M program; three fixed tiers bound
+    # the number of compiled shapes at 3 per (kmin, max_sub) config
+    for tier in (1 << 12, 1 << 17):
+        if N <= tier and tier <= cap:
+            cap = tier
+            break
     SW = head.shape[1]
 
     # marker draw on host — bit-identical to the device formula so bucket

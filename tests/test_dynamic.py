@@ -423,3 +423,29 @@ def test_indexed_round_matches_monolithic(klist, max_sub, unique_only,
     fresh = dynamic._host_summaries(nhp, max_sub)
     for a, b in zip(nsum, fresh):
         np.testing.assert_array_equal(a, b)
+
+
+def test_dynamic_assembly_indexed_always(monkeypatch):
+    """REFLEXIV_INDEXED_ALWAYS=1 (the TPU default) routes the ENTIRE
+    extension loop — all pool sizes — through the summary-indexed host
+    rounds; the assembly must still reconstruct the genome."""
+    monkeypatch.setenv("REFLEXIV_INDEXED_ALWAYS", "1")
+    monkeypatch.setenv("REFLEXIV_BUCKET_CAP", "256")
+    rng = random.Random(31)
+    genome = "".join(rng.choice("ACGT") for _ in range(500))
+    reads = []
+    for _ in range(300):
+        s = rng.randrange(len(genome) - 60)
+        r = genome[s:s + 60]
+        if rng.random() < 0.5:
+            r = oracle.revcomp(r)
+        reads.append(r)
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    params = Params(k=21, klist=(15, 21, 31), min_kmer_coverage=2,
+                    min_contig=300)
+    contigs = dynamic.assemble_dynamic(mat, lens, params, seed=1)
+    canon = {canonical_contig(s) for _, s in contigs}
+    assert len(canon) == 1
+    (c,) = canon
+    assert len(c) >= 420
+    assert c in genome or oracle.revcomp(c) in genome
