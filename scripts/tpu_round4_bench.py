@@ -126,6 +126,55 @@ def main():
         out["limbs"] = limbs_for(L)
         return out
 
+    @phase("indexed_round")
+    def p_indexed():
+        """Round-5 production path: the summary-indexed round (device sees
+        fixed-width summaries; host splices). Device-kernel wall + full
+        host round wall, same pool as mixed_k_round."""
+        from reflexiv_tpu import dynamic as dyn
+        from reflexiv_tpu import packed_dyn as pd
+        from reflexiv_tpu.packed import pack_seq_matrix_np
+
+        out = {}
+        N = 1 << 20
+        klist = (23, 31, 41, 53)
+        kmin, max_sub = klist[0], klist[-1] - 1
+        L = 64
+        ks = np.asarray(klist)[rng.integers(0, len(klist), N)]
+        bases = rng.integers(0, 4, (N, L), dtype=np.uint8)
+        col = np.arange(L)[None, :]
+        bases = np.where(col < ks[:, None], bases, 0).astype(np.uint8)
+        seq = pack_seq_matrix_np(bases)
+        hp = (seq, ks.astype(np.int32), (ks - 1).astype(np.int32),
+              np.full(N, -3, np.int32), np.full(N, -3, np.int32))
+        t0 = time.time()
+        summ = dyn._host_summaries(hp, max_sub)
+        out["summaries_s"] = round(time.time() - t0, 4)
+
+        # device kernel alone (one slab, fetch-once discipline)
+        arrs = (jnp.asarray(summ[0]), jnp.asarray(summ[1]),
+                jnp.asarray(summ[2]), jnp.asarray(summ[3]),
+                jnp.asarray(hp[1]), jnp.asarray(hp[2]),
+                jnp.asarray(hp[3]), jnp.asarray(hp[4]),
+                jnp.ones(N, bool), jnp.arange(N, dtype=jnp.int32))
+        fn = lambda: pd.pdyn_round_indexed(
+            *arrs, jnp.uint32(1), kmin=kmin, max_sub=max_sub,
+            unique_only=False)
+        dt = bench(fn, lambda o: np.asarray(o[1][:8]))
+        out["device_kernel_s"] = round(dt, 4)
+        out["device_recs_per_s"] = round(N / dt)
+
+        # full host round (summaries upload + kernel + host splice)
+        t0 = time.time()
+        nhp, nsum, n_live, need = dyn._pdyn_round_indexed_host(
+            hp, summ, 1, kmin=kmin, max_sub=max_sub, unique_only=False,
+            need=2 * L)
+        out["full_round_s"] = round(time.time() - t0, 4)
+        out["full_recs_per_s"] = round(N / (time.time() - t0))
+        out["live_after"] = int(n_live)
+        out["records"] = N
+        return out
+
     @phase("partition_exchange")
     def p_exchange():
         from reflexiv_tpu.partition_kernels import (
