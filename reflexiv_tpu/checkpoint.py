@@ -136,8 +136,28 @@ def _read_pool_blocks(d: str):
 
 
 def save_records(workdir: str, stage: str, recs) -> None:
-    """Checkpoint a pool (byte DynRecords or PackedDynRecords) blockwise."""
+    """Checkpoint a pool (byte DynRecords, PackedDynRecords, or a ragged
+    width-class group list) blockwise."""
     d = stage_dir(workdir, stage)
+    if isinstance(recs, list):
+        # ragged stage snapshot: one npz per width class — memory stays
+        # ~total bases instead of rows x widest row (megabase contigs)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        os.makedirs(d, exist_ok=True)
+        n = 0
+        for i, (seq, length, subk, left, right) in enumerate(recs):
+            np.savez(os.path.join(d, f"g_{i:05d}.npz"),
+                     seq=seq, length=length, subk=subk, left=left,
+                     right=right)
+            n += len(length)
+        with open(os.path.join(d, "meta.json"), "w") as fh:
+            json.dump({"format": "groups_v1", "groups": len(recs),
+                       "rows": n}, fh)
+        write_success_marker(d)
+        log.info("checkpoint: wrote stage %s (%d live rows, %d groups)",
+                 stage, n, len(recs))
+        return
     n = _write_pool_blocks(d, recs)
     write_success_marker(d)
     log.info("checkpoint: wrote stage %s (%d live rows)", stage, n)
@@ -151,6 +171,16 @@ def load_records(workdir: str, stage: str):
     from .packed import unpack_seq_matrix_np
 
     d = stage_dir(workdir, stage)
+    gmeta = os.path.join(d, "meta.json")
+    if os.path.exists(gmeta):
+        with open(gmeta) as fh:
+            if json.load(fh).get("format") == "groups_v1":
+                groups = []
+                for path in sorted(glob.glob(os.path.join(d, "g_*.npz"))):
+                    z = np.load(path)
+                    groups.append((z["seq"], z["length"], z["subk"],
+                                   z["left"], z["right"]))
+                return groups
     legacy = os.path.join(d, "records.npz")
     if os.path.exists(legacy):
         z = np.load(legacy)
@@ -236,7 +266,17 @@ def save_loop_state(ckpt_dir: str, pool, parked: list, state: dict) -> None:
     d = os.path.join(ckpt_dir, f"it_{it:05d}")
     if os.path.exists(d):
         shutil.rmtree(d)
-    _write_pool_blocks(os.path.join(d, "pool"), pool)
+    if isinstance(pool, list):
+        # ragged indexed-loop pool: width-class group tuples (same layout
+        # as parked blocks) — never materialized rows x widest-row dense
+        ldir = os.path.join(d, "live")
+        os.makedirs(ldir, exist_ok=True)
+        for i, (seq, length, subk, left, right) in enumerate(pool):
+            np.savez(os.path.join(ldir, f"g_{i:05d}.npz"),
+                     seq=seq, length=length, subk=subk, left=left,
+                     right=right)
+    else:
+        _write_pool_blocks(os.path.join(d, "pool"), pool)
     pdir = os.path.join(d, "parked")
     os.makedirs(pdir, exist_ok=True)
     for i, (seq, length, subk, left, right) in enumerate(parked):
@@ -262,9 +302,18 @@ def load_loop_state(ckpt_dir: str):
     for d in cands:
         if not has_success_marker(d):
             continue
-        packed, length, subk, left, right, live, _ = _read_pool_blocks(
-            os.path.join(d, "pool"))
-        pool = PackedDynRecords(packed, length, subk, left, right, live)
+        ldir = os.path.join(d, "live")
+        if os.path.isdir(ldir):
+            # ragged group-format pool (see save_loop_state)
+            pool = []
+            for path in sorted(glob.glob(os.path.join(ldir, "g_*.npz"))):
+                z = np.load(path)
+                pool.append((z["seq"], z["length"], z["subk"], z["left"],
+                             z["right"]))
+        else:
+            packed, length, subk, left, right, live, _ = _read_pool_blocks(
+                os.path.join(d, "pool"))
+            pool = PackedDynRecords(packed, length, subk, left, right, live)
         parked = []
         for path in sorted(glob.glob(os.path.join(d, "parked", "p_*.npz"))):
             z = np.load(path)

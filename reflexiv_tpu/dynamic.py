@@ -554,6 +554,7 @@ def run_dyn_extension(
     seed: int = 0, unique_only: bool = False,
     max_rounds: Optional[int] = None, mesh=None,
     return_packed: bool = False, ckpt_dir: Optional[str] = None,
+    return_groups: bool = False,
 ):
     """Iterate mixed-k rounds to fixpoint (cf. FirstFour + Iteration batches,
     ``Pipelines.java:856-952``).
@@ -588,10 +589,12 @@ def run_dyn_extension(
 
     state0 = ckpt_mod.load_loop_state(ckpt_dir) if ckpt_dir else None
     saved_cap = None
+    in_groups = None
     if state0 is not None:
         p_host, parked0, st = state0
         # device pool built lazily: an over-HBM-scale pool must stay on
-        # the host for the bucketed big-pool phase below
+        # the host for the bucketed big-pool phase below. p_host may be a
+        # width-class group list (ragged indexed-loop checkpoints).
         p = None
         max_sub = st["max_sub"]
         it0 = st["it"] + 1
@@ -601,21 +604,37 @@ def run_dyn_extension(
                  it0, prev)
     else:
         parked0 = []
-        if isinstance(recs, pd.PackedDynRecords):
+        p_host = None
+        if isinstance(recs, list):
+            # width-class group input (ragged stage handoff): stays host-
+            # resident; only the indexed loop or a one-time dense
+            # materialization below consumes it
+            in_groups = recs
+            p = None
+            max_sub = max(
+                [int(g[2].max()) for g in in_groups if len(g[2])] or [1])
+            it0, stable = 1, 0
+            prev = sum(len(g[1]) for g in in_groups)
+            need = 2 * max(
+                [int(g[1].max()) for g in in_groups if len(g[1])] or [16])
+        elif isinstance(recs, pd.PackedDynRecords):
             p = recs
         elif isinstance(recs.seq, np.ndarray):
             p = pd.from_dyn_host(recs)
         else:
             p = pd.from_dyn(recs)
-        max_sub = int(jnp.max(jnp.where(p.live, p.subk, 1)))
-        it0, stable = 1, 0
-        prev = int(jnp.sum(p.live))
-        need = int(jnp.max(jnp.where(p.live, p.length, 0))) * 2
+        if p is not None:
+            max_sub = int(jnp.max(jnp.where(p.live, p.subk, 1)))
+            it0, stable = 1, 0
+            prev = int(jnp.sum(p.live))
+            need = int(jnp.max(jnp.where(p.live, p.length, 0))) * 2
 
     def _loop_ckpt(pool, parked, it, extra=None):
         nonlocal last_ckpt
         if not ckpt_dir or _time.time() - last_ckpt < ckpt_every:
             return
+        if callable(pool):   # lazy: ragged pools materialize groups only
+            pool = pool()    # when the throttle actually fires
         state = {"it": it, "stable": stable, "prev": prev, "need": need,
                  "max_sub": max_sub}
         if extra:
@@ -629,6 +648,14 @@ def run_dyn_extension(
         # death between loop end and stage save still has a resume point
         # (re-entering a completed loop replays only the post-checkpoint
         # rounds, deterministically).
+        if return_groups:
+            live = np.asarray(pool.live)
+            idx = np.nonzero(live)[0]
+            g = _RaggedPool.from_dense((
+                np.asarray(pool.seq)[idx], np.asarray(pool.length)[idx],
+                np.asarray(pool.subk)[idx], np.asarray(pool.left)[idx],
+                np.asarray(pool.right)[idx])).to_groups()
+            return g + list(parked)
         if parked:
             pool = pd.merge_parked_pdyn(pool, parked)
         return pool if return_packed else pd.to_dyn(pool)
@@ -731,31 +758,47 @@ def run_dyn_extension(
         "REFLEXIV_INDEXED_ALWAYS", "1" if on_tpu else "0") != "0"
     it0_dev = it0
     hp = None
-    if prev > bucket_rows or indexed_always:
-        if p is None:
-            live_h = np.asarray(p_host[5])
-            idxh = np.nonzero(live_h)[0]
-            hp = tuple(np.asarray(a)[idxh] for a in p_host[:5])
-        else:
-            live_h = np.asarray(p.live)
-            idxh = np.nonzero(live_h)[0]
-            hp = (np.asarray(p.seq)[idxh], np.asarray(p.length)[idxh],
-                  np.asarray(p.subk)[idxh], np.asarray(p.left)[idxh],
-                  np.asarray(p.right)[idxh])
-            p = None
-        del idxh, live_h
+    rp = None
+    if prev > bucket_rows or indexed_always or in_groups is not None:
         # indexed mode (default): the device sorts fixed-width summaries
         # and returns merge instructions; the pool bytes never leave host
-        # RAM. One compiled program serves every round — the legacy mode
+        # RAM (ragged: dense matrix + overflow rows, ~2x total bases).
+        # One compiled program serves every round — the legacy mode
         # re-compiles (and re-uploads) at every limb-width doubling, which
         # stalled the round-5 campaign for tens of minutes per growth step
         # on the remote-AOT tunnel.
         indexed = os.environ.get("REFLEXIV_INDEXED_ROUNDS", "1") != "0"
-        summ = _host_summaries(hp, max_sub) if indexed else None
+        if p is None and isinstance(p_host, list):
+            src_groups, src = p_host, None
+        elif p is None and p_host is not None:
+            live_h = np.asarray(p_host[5])
+            idxh = np.nonzero(live_h)[0]
+            src = tuple(np.asarray(a)[idxh] for a in p_host[:5])
+            src_groups = None
+        elif p is None:
+            src_groups, src = in_groups or [], None
+        else:
+            live_h = np.asarray(p.live)
+            idxh = np.nonzero(live_h)[0]
+            src = (np.asarray(p.seq)[idxh], np.asarray(p.length)[idxh],
+                   np.asarray(p.subk)[idxh], np.asarray(p.left)[idxh],
+                   np.asarray(p.right)[idxh])
+            src_groups = None
+            p = None
+        if indexed:
+            rp = (_RaggedPool.from_groups(src_groups)
+                  if src_groups is not None
+                  else _RaggedPool.from_dense(src))
+            summ = _summaries_ragged(rp, max_sub)
+        else:
+            hp = (_groups_to_dense(src_groups)
+                  if src_groups is not None else src)
+            summ = None
+        del src_groups, src
         for it in range(it0_dev, max_rounds + 1):
             if indexed:
-                hp, summ, n, need = _pdyn_round_indexed_host(
-                    hp, summ, seed + it, kmin=kmin, max_sub=max_sub,
+                rp, summ, n, need = _pdyn_round_indexed_host(
+                    rp, summ, seed + it, kmin=kmin, max_sub=max_sub,
                     unique_only=unique_only, need=need)
             else:
                 hp, n, need = _pdyn_round_bucketed_host(
@@ -776,27 +819,39 @@ def run_dyn_extension(
             # partition decay, ``Pipelines.java:877-974``). n_buckets is
             # recomputed per round, so it decays with the pool.
             if n and (it % 4 == 3 or stable >= 1):
-                fin = _finished_mask_host_exact(hp, max_sub)
+                if indexed:
+                    fin = _finished_mask_from_summ(summ, rp.subk, max_sub)
+                else:
+                    fin = _finished_mask_host_exact(hp, max_sub)
                 nf = int(fin.sum())
                 if nf == n:
                     # exact early stop: nothing left can ever merge
-                    _park_host_rows(hp, fin, parked)
-                    hp = tuple(a[:0] for a in hp)
                     if indexed:
+                        parked.extend(
+                            rp.select(np.nonzero(fin)[0]).to_groups())
+                        rp = _RaggedPool.from_groups([])
                         summ = tuple(a[:0] for a in summ)
+                    else:
+                        _park_host_rows(hp, fin, parked)
+                        hp = tuple(a[:0] for a in hp)
                     prev = n = 0
                     it0_dev = max_rounds + 1
                     log.info("bucketed census: all %d rows finished", nf)
                 elif nf > max(32, n // 16):
-                    _park_host_rows(hp, fin, parked)
                     keep = ~fin
-                    hp = tuple(a[keep] for a in hp)
                     if indexed:
+                        parked.extend(
+                            rp.select(np.nonzero(fin)[0]).to_groups())
+                        rp = rp.select(np.nonzero(keep)[0])
                         summ = tuple(a[keep] for a in summ)
+                    else:
+                        _park_host_rows(hp, fin, parked)
+                        hp = tuple(a[keep] for a in hp)
                     prev = n = n - nf
                     log.info("bucketed census: parked %d, %d live", nf, n)
             _loop_ckpt(
-                pd.PackedDynRecords(*hp, np.ones(len(hp[1]), bool)),
+                (rp.to_groups if indexed else
+                 pd.PackedDynRecords(*hp, np.ones(len(hp[1]), bool))),
                 parked, it)
             if prev <= bucket_rows and not indexed_always:
                 break
@@ -806,11 +861,24 @@ def run_dyn_extension(
                 # would not compile) and finish from the host pool
                 it0_dev = max_rounds + 1
                 break
-        if indexed_always:
+        if indexed_always or indexed:
             # the indexed loop ran to its own stop — never hand the pool
             # to the monolithic device loop (each limb-width growth there
-            # is a fresh multi-minute remote compile)
-            it0_dev = max_rounds + 1
+            # is a fresh multi-minute remote compile); a non-always run
+            # that exited under-threshold continues below only in legacy
+            # mode
+            if indexed_always:
+                it0_dev = max_rounds + 1
+        if indexed and rp is not None and it0_dev > max_rounds:
+            if return_groups:
+                return rp.to_groups() + list(parked)
+            hp = _groups_to_dense(rp.to_groups())
+            rp = None
+        elif indexed and rp is not None:
+            # under-threshold handoff to the device loop (CPU / legacy
+            # thresholds): materialize once
+            hp = _groups_to_dense(rp.to_groups())
+            rp = None
     if p is None:
         if hp is not None:
             n_h = len(hp[1])
@@ -818,6 +886,12 @@ def run_dyn_extension(
             p = _pad_pdyn(pd.PackedDynRecords(
                 *hp, np.ones(n_h, bool)), cap0)
             hp = None
+        elif isinstance(p_host, list) or in_groups is not None:
+            hp_m = _groups_to_dense(
+                p_host if isinstance(p_host, list) else in_groups)
+            p = _pad_pdyn(pd.PackedDynRecords(
+                *hp_m, np.ones(len(hp_m[1]), bool)),
+                max(_np2(max(len(hp_m[1]), 1)), 16))
         else:
             p = pd.PackedDynRecords(*(jnp.asarray(a) for a in p_host))
             p = _pad_pdyn(p, max(_np2(p.capacity), 16))
@@ -1040,6 +1114,31 @@ def _pdyn_round_bucketed_host(
     return new_hp, total_live, need_out
 
 
+def _groups_to_dense(groups):
+    """One-time dense materialization of width-class groups — ONLY for
+    small pools (tests, CPU handoff); campaign-scale pools stay grouped."""
+    if not groups:
+        z = np.zeros(0, np.int32)
+        return (np.zeros((0, 1), np.uint32), z, z, z, z)
+    total = sum(len(g[1]) for g in groups)
+    W = max(g[0].shape[1] for g in groups)
+    seq = np.zeros((total, W), np.uint32)
+    length = np.empty(total, np.int32)
+    subk = np.empty(total, np.int32)
+    left = np.empty(total, np.int32)
+    right = np.empty(total, np.int32)
+    lo = 0
+    for g in groups:
+        n = len(g[1])
+        seq[lo:lo + n, :g[0].shape[1]] = g[0]
+        length[lo:lo + n] = g[1]
+        subk[lo:lo + n] = g[2]
+        left[lo:lo + n] = g[3]
+        right[lo:lo + n] = g[4]
+        lo += n
+    return (seq, length, subk, left, right)
+
+
 def _host_window(seq: np.ndarray, start: np.ndarray, width: int):
     """numpy mirror of :func:`packed.extract_window`: left-aligned packed
     window of ``width`` bases from per-row ``start`` over (N, LW) uint32
@@ -1139,8 +1238,137 @@ def _host_concat_packed(seq_a, len_a, seq_b, len_b, skip, out_limbs: int):
     return out, total
 
 
+class _RaggedPool:
+    """Host-resident mixed-k pool for the indexed extension loop.
+
+    Rows up to ``W_DENSE`` limbs live in one dense matrix; longer rows
+    (the growing contigs — always a tiny fraction of the pool) live as
+    individually trimmed overflow arrays. This bounds pool memory at ~2x
+    total bases instead of rows x longest-row: the dense form hit 4.3 GB
+    at 38k rows x 452 kb top contig in the round-5 campaign, doubling
+    with every top-pair merge.
+    """
+
+    W_DENSE = 512   # limbs (= 8192 bases); class attr so tests can shrink
+
+    def __init__(self, dense, length, subk, left, right, over):
+        self.dense = dense          # (N, <=W_DENSE) uint32
+        self.length = length
+        self.subk = subk
+        self.left = left
+        self.right = right
+        self.over = over            # {row: trimmed uint32 array}
+
+    @property
+    def n(self) -> int:
+        return len(self.length)
+
+    @classmethod
+    def from_dense(cls, hp):
+        from .packed import limbs_for
+
+        seq, length, subk, left, right = hp
+        wd = min(cls.W_DENSE, max(seq.shape[1], 1))
+        over = {}
+        long_rows = np.nonzero(length > wd * 16)[0]
+        for i in long_rows:
+            over[int(i)] = seq[i, :limbs_for(int(length[i]))].copy()
+        return cls(np.ascontiguousarray(seq[:, :wd]),
+                   length.astype(np.int32), subk.astype(np.int32),
+                   left.astype(np.int32), right.astype(np.int32), over)
+
+    @classmethod
+    def from_groups(cls, groups):
+        """Build from width-class group tuples
+        ``[(seq, length, subk, left, right), ...]`` (the parked format)."""
+        if not groups:
+            z = np.zeros(0, np.int32)
+            return cls(np.zeros((0, 1), np.uint32), z, z, z, z, {})
+        total = sum(len(g[1]) for g in groups)
+        wd = min(cls.W_DENSE, max(max(g[0].shape[1] for g in groups), 1))
+        dense = np.zeros((total, wd), np.uint32)
+        length = np.empty(total, np.int32)
+        subk = np.empty(total, np.int32)
+        left = np.empty(total, np.int32)
+        right = np.empty(total, np.int32)
+        over = {}
+        lo = 0
+        for g in groups:
+            n = len(g[1])
+            w = min(g[0].shape[1], wd)
+            dense[lo:lo + n, :w] = g[0][:, :w]
+            length[lo:lo + n] = g[1]
+            subk[lo:lo + n] = g[2]
+            left[lo:lo + n] = g[3]
+            right[lo:lo + n] = g[4]
+            if g[0].shape[1] > wd:
+                from .packed import limbs_for
+
+                for j in np.nonzero(g[1] > wd * 16)[0]:
+                    over[lo + int(j)] = g[0][j, :limbs_for(int(g[1][j]))]\
+                        .copy()
+            lo += n
+        return cls(dense, length, subk, left, right, over)
+
+    def row_seq(self, i: int):
+        from .packed import limbs_for
+
+        arr = self.over.get(int(i))
+        if arr is not None:
+            return arr
+        return self.dense[i, :limbs_for(int(self.length[i]))]
+
+    def to_groups(self):
+        """Width-class group tuples (the parked / checkpoint format):
+        dense rows in pow2-width classes, overflow rows likewise."""
+        from .packed import limbs_for
+        from .records import next_pow2
+
+        groups = []
+        over_rows = np.zeros(self.n, bool)
+        if self.over:
+            over_rows[np.fromiter(self.over, int, len(self.over))] = True
+        short_idx = np.nonzero(~over_rows)[0]
+        if len(short_idx):
+            lens = self.length[short_idx]
+            cls_w = np.maximum(
+                1, 2 ** np.ceil(np.log2(np.maximum(
+                    (lens + 15) // 16, 1))).astype(np.int64))
+            for w in np.unique(cls_w):
+                sel = short_idx[cls_w == w]
+                groups.append((
+                    self.dense[sel][:, :min(int(w), self.dense.shape[1])]
+                    .copy(),
+                    self.length[sel].copy(), self.subk[sel].copy(),
+                    self.left[sel].copy(), self.right[sel].copy()))
+        if self.over:
+            by_cls: dict = {}
+            for i, arr in self.over.items():
+                by_cls.setdefault(next_pow2(max(len(arr), 1)), []).append(i)
+            for w, idxs in sorted(by_cls.items()):
+                idxs = np.asarray(sorted(idxs))
+                seq = np.zeros((len(idxs), w), np.uint32)
+                for r, i in enumerate(idxs):
+                    a = self.over[int(i)]
+                    seq[r, :len(a)] = a
+                groups.append((
+                    seq, self.length[idxs].copy(), self.subk[idxs].copy(),
+                    self.left[idxs].copy(), self.right[idxs].copy()))
+        return groups
+
+    def select(self, idx):
+        """New pool holding rows ``idx`` (in that order)."""
+        remap = {}
+        for new_i, old_i in enumerate(idx):
+            if int(old_i) in self.over:
+                remap[new_i] = self.over[int(old_i)]
+        return _RaggedPool(
+            self.dense[idx], self.length[idx], self.subk[idx],
+            self.left[idx], self.right[idx], remap)
+
+
 def _pdyn_round_indexed_host(
-    hp, summ, round_seed: int, *, kmin: int, max_sub: int,
+    pool: "_RaggedPool", summ, round_seed: int, *, kmin: int, max_sub: int,
     unique_only: bool, need: int,
 ):
     """One mixed-k extension round with the pool bytes HOST-resident: the
@@ -1148,22 +1376,26 @@ def _pdyn_round_indexed_host(
     (:func:`packed_dyn.pdyn_round_indexed`), the host applies the merge
     splices in numpy. One compiled program serves every round regardless
     of record length; per-round transfer is ~(2*limbs_for(max_sub)+7)*4
-    bytes/row instead of the full packed sequence.
+    bytes/row instead of the full packed sequence. The pool is a
+    :class:`_RaggedPool` (dense matrix for short rows + trimmed overflow
+    arrays for long ones) so memory stays ~2x total bases even when the
+    top contigs reach megabases.
 
-    ``summ`` is ``(head, tailw, h16, t16)`` from :func:`_host_summaries`,
-    maintained incrementally (merged rows recomputed, others carried).
-    Returns ``(hp', summ', live_n, need')``.
+    ``summ`` is ``(head, tailw, h16, t16)`` maintained incrementally
+    (merged rows recomputed, others carried). Returns
+    ``(pool', summ', live_n, need')``.
     """
     from . import count as count_mod
     from . import packed_dyn as pd
     from .packed import limbs_for
     from .records import next_pow2
 
-    seq, length, subk, left, right = hp
+    length, subk = pool.length, pool.subk
+    left, right = pool.left, pool.right
     head, tailw, h16, t16 = summ
-    N = len(length)
+    N = pool.n
     if N == 0:
-        return hp, summ, 0, int(need)
+        return pool, summ, 0, int(need)
     cap = int(os.environ.get("REFLEXIV_BUCKET_CAP", str(1 << 21)))
     cap_max = int(os.environ.get("REFLEXIV_BUCKET_CAP_MAX", str(1 << 26)))
     # small pools use a smaller slab tier so late rounds don't pad a few
@@ -1268,18 +1500,31 @@ def _pdyn_round_indexed_host(
     if pending is not None:
         collect(pending)
 
-    f_idx = np.nonzero(act == 1)[0]
-    r_idx = part[f_idx]
+    f_all = np.nonzero(act == 1)[0]
+    r_all = part[f_all]
     keep_idx = np.nonzero(act == 0)[0]
-    if len(f_idx):
-        skip = subk[r_idx]
-        tot = (length[r_idx].astype(np.int64) + length[f_idx] - skip)
-        out_limbs = limbs_for(int(tot.max()))
+
+    # split merges: short+short with a short result run through the
+    # vectorized dense splice; anything touching an overflow row (or
+    # overflowing the dense width) goes through the per-row funnel —
+    # always few (the growing contigs)
+    over_mask = np.zeros(N, bool)
+    if pool.over:
+        over_mask[np.fromiter(pool.over, int, len(pool.over))] = True
+    tot_all = (length[r_all].astype(np.int64) + length[f_all]
+               - subk[r_all])
+    wd_bases = pool.W_DENSE * 16
+    fast = (~over_mask[r_all]) & (~over_mask[f_all]) & (tot_all <= wd_bases)
+    rf, ff = r_all[fast], f_all[fast]
+    rs, fs = r_all[~fast], f_all[~fast]
+
+    if len(rf):
+        out_limbs = limbs_for(int(tot_all[fast].max()))
         mseq, mlen = _host_concat_packed(
-            seq[r_idx], length[r_idx], seq[f_idx], length[f_idx], skip,
-            out_limbs)
+            pool.dense[rf], length[rf], pool.dense[ff], length[ff],
+            subk[rf], out_limbs)
         mh, mt, mh16, mt16 = _host_summaries(
-            (mseq, mlen, subk[f_idx]), max_sub)
+            (mseq, mlen, subk[ff]), max_sub)
     else:
         out_limbs = 0
         mseq = np.zeros((0, 1), np.uint32)
@@ -1288,26 +1533,175 @@ def _pdyn_round_indexed_host(
         mt = np.zeros((0, SW), np.uint32)
         mh16 = mt16 = np.zeros(0, np.uint32)
 
-    LWn = max(seq.shape[1], out_limbs)
-    n_new = len(keep_idx) + len(f_idx)
-    nseq = np.zeros((n_new, LWn), np.uint32)
-    nseq[:len(keep_idx), :seq.shape[1]] = seq[keep_idx]
-    if len(f_idx):
-        nseq[len(keep_idx):, :out_limbs] = mseq
-    nlen = np.concatenate([length[keep_idx], mlen]).astype(np.int32)
-    nsub = np.concatenate([subk[keep_idx], subk[f_idx]]).astype(np.int32)
-    nleft = np.concatenate([left[keep_idx], nl[f_idx]]).astype(np.int32)
-    nright = np.concatenate([right[keep_idx], nr[f_idx]]).astype(np.int32)
-    nsum = (np.concatenate([head[keep_idx], mh]),
-            np.concatenate([tailw[keep_idx], mt]),
-            np.concatenate([h16[keep_idx], mh16]),
-            np.concatenate([t16[keep_idx], mt16]))
+    slow_rows = []
+    slow_lens = np.empty(len(rs), np.int32)
+    for j, (ri, fi) in enumerate(zip(rs, fs)):
+        arr, tot = _host_concat_row(
+            pool.row_seq(int(ri)), int(length[ri]),
+            pool.row_seq(int(fi)), int(length[fi]), int(subk[ri]))
+        slow_rows.append(arr)
+        slow_lens[j] = tot
+    if len(rs):
+        sh, st, sh16, st16 = _summaries_rows(
+            slow_rows, slow_lens, subk[fs], max_sub)
+    else:
+        sh = np.zeros((0, SW), np.uint32)
+        st = np.zeros((0, SW), np.uint32)
+        sh16 = st16 = np.zeros(0, np.uint32)
+
+    # assemble: [kept rows, fast merged, slow merged]
+    n_keep, n_fast, n_slow = len(keep_idx), len(rf), len(rs)
+    n_new = n_keep + n_fast + n_slow
+    base = pool.select(keep_idx)
+    wd_new = min(pool.W_DENSE,
+                 max(base.dense.shape[1], out_limbs, 1))
+    dense_new = np.zeros((n_new, wd_new), np.uint32)
+    dense_new[:n_keep, :base.dense.shape[1]] = base.dense
+    if n_fast:
+        dense_new[n_keep:n_keep + n_fast, :out_limbs] = mseq
+    over_new = dict(base.over)
+    for j, arr in enumerate(slow_rows):
+        over_new[n_keep + n_fast + j] = arr
+    nlen = np.concatenate(
+        [length[keep_idx], mlen, slow_lens]).astype(np.int32)
+    nsub = np.concatenate(
+        [subk[keep_idx], subk[ff], subk[fs]]).astype(np.int32)
+    nleft = np.concatenate(
+        [left[keep_idx], nl[ff], nl[fs]]).astype(np.int32)
+    nright = np.concatenate(
+        [right[keep_idx], nr[ff], nr[fs]]).astype(np.int32)
+    new_pool = _RaggedPool(dense_new, nlen, nsub, nleft, nright, over_new)
+    nsum = (np.concatenate([head[keep_idx], mh, sh]),
+            np.concatenate([tailw[keep_idx], mt, st]),
+            np.concatenate([h16[keep_idx], mh16, sh16]),
+            np.concatenate([t16[keep_idx], mt16, st16]))
     if n_new >= 2:
         top2 = np.partition(nlen, n_new - 2)[-2:]
         need_out = int(top2[0]) + int(top2[1])
     else:
         need_out = int(nlen.max()) if n_new else int(need)
-    return (nseq, nlen, nsub, nleft, nright), nsum, n_new, need_out
+    return new_pool, nsum, n_new, need_out
+
+
+def _host_concat_row(a: np.ndarray, la: int, b: np.ndarray, lb: int,
+                     skip: int):
+    """Single-row ``a ++ b[skip:]`` on packed limbs, vectorized across
+    LIMBS (``_host_concat_packed`` vectorizes across rows but loops output
+    limbs in Python — ruinous for a single megabase row)."""
+    from .packed import BASES_PER_LIMB, limbs_for
+
+    total = la + lb - skip
+    W = limbs_for(max(total, 1))
+    out = np.zeros(W, np.uint32)
+    wa = limbs_for(la) if la else 0
+    out[:wa] = a[:wa]
+    nb = lb - skip
+    if nb > 0:
+        # left-aligned stream of b[skip:]
+        q = skip // BASES_PER_LIMB
+        o = np.uint32(2 * (skip % BASES_PER_LIMB))
+        wb = limbs_for(nb)
+        aa = np.zeros(wb, np.uint32)
+        seg = b[q:q + wb]
+        aa[:len(seg)] = seg
+        if o:
+            bb = np.zeros(wb, np.uint32)
+            seg2 = b[q + 1:q + 1 + wb]
+            bb[:len(seg2)] = seg2
+            bs = (aa << o) | (bb >> (np.uint32(32) - o))
+        else:
+            bs = aa
+        remb = nb - BASES_PER_LIMB * (wb - 1)
+        if remb < BASES_PER_LIMB:
+            bs[-1] &= np.uint32(0xFFFFFFFF) << (32 - 2 * remb)
+        # place at output base position la
+        p = la // BASES_PER_LIMB
+        po = np.uint32(2 * (la % BASES_PER_LIMB))
+        if po:
+            lob = bs >> po
+            hib = bs << (np.uint32(32) - po)
+            end0 = min(p + wb, W)
+            out[p:end0] |= lob[:end0 - p]
+            end1 = min(p + 1 + wb, W)
+            out[p + 1:end1] |= hib[:end1 - p - 1]
+        else:
+            end0 = min(p + wb, W)
+            out[p:end0] |= bs[:end0 - p]
+    return out, total
+
+
+def _summaries_rows(rows, lengths, subks, max_sub: int):
+    """Per-row summaries for a small batch of trimmed packed rows (the
+    slow-path merged rows — a handful of long contigs per round)."""
+    from .packed import BASES_PER_LIMB, limbs_for
+
+    SW = limbs_for(max_sub)
+    M = len(rows)
+    head = np.zeros((M, SW), np.uint32)
+    tail = np.zeros((M, SW), np.uint32)
+    h16 = np.zeros(M, np.uint32)
+    t16 = np.zeros(M, np.uint32)
+    for i, arr in enumerate(rows):
+        a2 = arr[None, :]
+        ln = np.asarray([int(lengths[i])], np.int64)
+        sk = int(subks[i])
+        head[i] = _host_window(a2, np.zeros(1, np.int64), max_sub)[0]
+        tail[i] = _host_window(a2, np.maximum(ln - sk, 0), max_sub)[0]
+        h16[i] = _host_window(a2, np.zeros(1, np.int64), 16)[0, 0]
+        t16[i] = _host_window(a2, np.maximum(ln - 16, 0), 16)[0, 0]
+    return head, tail, h16, t16
+
+
+def _summaries_ragged(pool: "_RaggedPool", max_sub: int):
+    """Summaries for a whole :class:`_RaggedPool`: dense part vectorized,
+    overflow rows patched individually."""
+    hp_dense = (pool.dense, np.minimum(pool.length,
+                                       pool.dense.shape[1] * 16),
+                pool.subk)
+    head, tailw, h16, t16 = _host_summaries(hp_dense, max_sub)
+    if pool.over:
+        idxs = sorted(pool.over)
+        rows = [pool.over[i] for i in idxs]
+        oh, ot, oh16, ot16 = _summaries_rows(
+            rows, pool.length[idxs], pool.subk[idxs], max_sub)
+        head[idxs], tailw[idxs] = oh, ot
+        h16[idxs], t16[idxs] = oh16, ot16
+    return head, tailw, h16, t16
+
+
+def _finished_mask_from_summ(summ, subk, max_sub: int):
+    """Exact extendability census straight from maintained summaries —
+    the head/tail windows ARE the trie intervals, so the ragged pool's
+    bytes are never touched."""
+    from .packed import BASES_PER_LIMB, limbs_for
+
+    head, tailw = summ[0], summ[1]
+    N = len(subk)
+    if N == 0:
+        return np.zeros(0, bool)
+    W = limbs_for(max_sub)
+    m = np.arange(W)[None, :]
+    bits = np.clip(
+        2 * (subk.astype(np.int64)[:, None] - BASES_PER_LIMB * m), 0, 32)
+    mask = np.where(
+        bits >= 32, 0xFFFFFFFF,
+        np.where(bits > 0,
+                 (np.int64(0xFFFFFFFF) << (32 - bits)) & 0xFFFFFFFF, 0),
+    ).astype(np.uint32)
+
+    def vbe(x):
+        y = np.ascontiguousarray(x.astype(">u4"))
+        return y.view(np.dtype((np.void, y.shape[1] * 4))).ravel()
+
+    h_lo, h_hi = vbe(head[:, :W] & mask), vbe(head[:, :W] | ~mask)
+    t_lo, t_hi = vbe(tailw[:, :W] & mask), vbe(tailw[:, :W] | ~mask)
+    head_hits = (
+        np.searchsorted(np.sort(t_lo), h_hi, side="right")
+        - np.searchsorted(np.sort(t_hi), h_lo, side="left"))
+    tail_hits = (
+        np.searchsorted(np.sort(h_lo), t_hi, side="right")
+        - np.searchsorted(np.sort(h_hi), t_lo, side="left"))
+    return (head_hits == 0) & (tail_hits == 0)
 
 
 def _finished_mask_host_exact(hp, max_sub: int):
@@ -1374,6 +1768,129 @@ def _park_host_rows(hp, fin, parked: list) -> None:
         hp[0][idx, :lim].copy(), len_b.copy(), hp[2][idx].copy(),
         hp[3][idx].copy(), hp[4][idx].copy(),
     ))
+
+
+def _unpack_rows_np(seq: np.ndarray, n_bases: int) -> np.ndarray:
+    """(N, W) packed u32 limbs -> (N, n_bases) u8 base codes (vectorized;
+    the numpy mirror of packed.unpack_seq_matrix for bounded widths)."""
+    N, W = seq.shape
+    j = np.arange(n_bases)
+    limb = j // 16
+    sh = (30 - 2 * (j % 16)).astype(np.uint32)
+    lim = np.minimum(limb, W - 1)
+    vals = (seq[:, lim] >> sh[None, :]) & np.uint32(3)
+    if n_bases > W * 16:
+        vals[:, W * 16:] = 0
+    return vals.astype(np.uint8)
+
+
+def _fixing_split_groups(groups, kmax: int, kfix: int = 31):
+    """Group-native :func:`_fixing_split_arrays`: the same end-window /
+    interior / small partition over width-class PACKED groups, so a pool
+    holding megabase contigs is never materialized rows x widest-row.
+
+    Returns ``(end_windows (M, kfix) uint8, parts_groups)`` where
+    ``parts_groups`` are packed group tuples for interiors (attrs
+    re-blocked exactly like the byte splitter) and pass-through smalls.
+    """
+    from .packed import limbs_for
+
+    w = kmax - kfix + 1
+    win = w + kfix - 1
+    ends = []
+    parts = []
+    for seq, length, subk, left, right in groups:
+        n = len(length)
+        if not n:
+            continue
+        big = length >= 2 * kmax
+        sidx = np.nonzero(~big)[0]
+        if len(sidx):
+            parts.append((seq[sidx], length[sidx], subk[sidx],
+                          left[sidx], right[sidx]))
+        bidx = np.nonzero(big)[0]
+        if not len(bidx):
+            continue
+        bseq, blen = seq[bidx], length[bidx].astype(np.int64)
+        # sliding end windows from both ends (win bases each)
+        headb = _unpack_rows_np(bseq, min(win, bseq.shape[1] * 16))
+        tailw_p = _host_window(bseq, np.maximum(blen - win, 0), win)
+        tailb = _unpack_rows_np(tailw_p, win)
+        for block in (headb, tailb):
+            sw = np.lib.stride_tricks.sliding_window_view(
+                block, kfix, axis=1)[:, :w]
+            ends.append(sw.reshape(-1, kfix))
+        # interior: cut w from both ends, re-left-align (packed shift),
+        # zero past the new length
+        int_len = (blen - 2 * w).astype(np.int32)
+        Wi = limbs_for(int(int_len.max()))
+        int_seq = _host_window(bseq, np.full(len(bidx), w, np.int64),
+                               Wi * 16)
+        m = np.arange(Wi)[None, :]
+        bits = np.clip(2 * (int_len.astype(np.int64)[:, None] - 16 * m),
+                       0, 32)
+        mask = np.where(
+            bits >= 32, 0xFFFFFFFF,
+            np.where(bits > 0,
+                     (np.int64(0xFFFFFFFF) << (32 - bits)) & 0xFFFFFFFF,
+                     0)).astype(np.uint32)
+        int_seq &= mask
+        bl, br = left[bidx], right[bidx]
+        parts.append((
+            int_seq, int_len, np.full(len(bidx), kfix - 1, np.int32),
+            np.where(bl >= 0, 3 + kmax, bl).astype(np.int32),
+            np.where(br >= 0, 3 + kmax, br).astype(np.int32)))
+    end_windows = (np.concatenate(ends, axis=0)
+                   if ends else np.zeros((0, kfix), np.uint8))
+    return end_windows, parts
+
+
+def _decode_groups_to_raw(groups, params: Params):
+    """Contig strings + end attrs from width-class groups, applying the
+    same repeat-killed / min-contig filter as the dense stage-04 decode."""
+    from .bitpack import decode_to_str
+    from .records import REPEAT_KILLED
+
+    raw = []
+    for seq, length, subk, left, right in groups:
+        keep = ~((left <= REPEAT_KILLED) & (right <= REPEAT_KILLED))
+        keep &= length >= params.min_contig
+        idx = np.nonzero(keep)[0]
+        if not len(idx):
+            continue
+        bases = _unpack_rows_np(seq[idx], int(length[idx].max()))
+        for r, i in enumerate(idx):
+            raw.append((decode_to_str(bases[r, :length[i]]),
+                        int(left[i]), int(right[i])))
+    return raw
+
+
+def _groups_from_contig_rows(rows, kfix: int):
+    """Width-class packed groups from ``(codes u8, subk, left, right)``
+    rows (the stage-05 re-entry path) — replaces the dense
+    ``_dyn_pool_from_rows`` for group-native fixing."""
+    from .packed import pack_seq_matrix_np
+    from .records import next_pow2
+
+    by_cls: dict = {}
+    for codes, sk, l, r in rows:
+        by_cls.setdefault(next_pow2(max(len(codes), 16)), []).append(
+            (codes, sk, l, r))
+    groups = []
+    for cls_bases, members in sorted(by_cls.items()):
+        n = len(members)
+        bases = np.zeros((n, cls_bases), np.uint8)
+        length = np.empty(n, np.int32)
+        subk = np.empty(n, np.int32)
+        left = np.empty(n, np.int32)
+        right = np.empty(n, np.int32)
+        for i, (codes, sk, l, r) in enumerate(members):
+            bases[i, :len(codes)] = codes
+            length[i] = len(codes)
+            subk[i], left[i], right[i] = sk, l, r
+        groups.append((pack_seq_matrix_np(bases), length, subk, left,
+                       right))
+    return groups
 
 
 # ---------------------------------------------------------------------------
@@ -1554,6 +2071,12 @@ def fixing_rounds_faithful(
     """
     if kmax < kfix + 1:
         # degenerate k ladder: end windows would be empty
+        if isinstance(recs, list):
+            from . import packed_dyn as pd
+
+            hp_m = _groups_to_dense(recs)
+            recs = pd.PackedDynRecords(
+                *hp_m, np.ones(len(hp_m[1]), bool))
         return fixing_rounds(
             recs, params, kfix=min(kfix, kmax), seed=seed, mesh=mesh,
             ckpt_ns=ckpt_ns)
@@ -1564,6 +2087,7 @@ def fixing_rounds_faithful(
     from .bitpack import canonical_packed, revcomp_bases
     from .io import has_success_marker
 
+    grouped = isinstance(recs, list)
     for pass_i, n_rounds in enumerate(round_schedule):
         if ckpt_ns:
             # completed-pass snapshot: a death in pass i+1 resumes without
@@ -1572,9 +2096,13 @@ def fixing_rounds_faithful(
             if has_success_marker(done_dir):
                 recs = ckpt_mod.load_records(
                     os.path.dirname(done_dir), os.path.basename(done_dir))
+                grouped = isinstance(recs, list)
                 continue
-        end_windows, interiors, smalls = _fixing_split_arrays(
-            recs, kmax, kfix)
+        if grouped:
+            end_windows, parts = _fixing_split_groups(recs, kmax, kfix)
+        else:
+            end_windows, interiors, smalls = _fixing_split_arrays(
+                recs, kmax, kfix)
         if not len(end_windows):
             return recs
         fwd = pack_bases(jnp.asarray(end_windows), kfix)
@@ -1596,16 +2124,29 @@ def fixing_rounds_faithful(
             np.asarray(rec31.left)[live31].astype(np.int32),
             np.asarray(rec31.right)[live31].astype(np.int32),
         )
-        pool = _dyn_pool_from_parts([ends_part, interiors, smalls])
         fix_params = _dc.replace(params, min_iterations=min(
             params.min_iterations, n_rounds))
-        recs = run_dyn_extension(
-            pool, fix_params, kmin=kfix, kmax=kfix,
-            seed=seed + 500 * pass_i, max_rounds=n_rounds, mesh=mesh,
-            return_packed=True,
-            ckpt_dir=f"{ckpt_ns}_p{pass_i}" if ckpt_ns else None,
-        )
-        recs = pd.to_dyn_host(recs)
+        if grouped:
+            from .packed import pack_seq_matrix_np
+
+            ends_group = (
+                pack_seq_matrix_np(ends_part[0]), ends_part[1],
+                ends_part[2], ends_part[3], ends_part[4])
+            recs = run_dyn_extension(
+                [ends_group] + parts, fix_params, kmin=kfix, kmax=kfix,
+                seed=seed + 500 * pass_i, max_rounds=n_rounds, mesh=mesh,
+                return_groups=True,
+                ckpt_dir=f"{ckpt_ns}_p{pass_i}" if ckpt_ns else None,
+            )
+        else:
+            pool = _dyn_pool_from_parts([ends_part, interiors, smalls])
+            recs = run_dyn_extension(
+                pool, fix_params, kmin=kfix, kmax=kfix,
+                seed=seed + 500 * pass_i, max_rounds=n_rounds, mesh=mesh,
+                return_packed=True,
+                ckpt_dir=f"{ckpt_ns}_p{pass_i}" if ckpt_ns else None,
+            )
+            recs = pd.to_dyn_host(recs)
         if ckpt_ns:
             ckpt_mod.save_records(
                 os.path.dirname(done_dir), os.path.basename(done_dir), recs)
@@ -1960,26 +2501,44 @@ def assemble_dynamic(
         met.lap("meta/01reduce")
 
     if resume_idx < 2:
-        from . import packed_dyn as _pd
+        # ragged end to end: the extension returns width-class groups and
+        # the checkpoint writer consumes them per class — neither the
+        # full-width byte matrix (the round-3 10 Mbp OOM) nor a dense
+        # rows x widest-row limb matrix (the round-5 memory cliff once
+        # contigs hit megabases) ever exists
+        if mesh is None:
+            pool = run_dyn_extension(
+                pool, params, kmin=kmin, kmax=kmax, seed=seed, mesh=mesh,
+                return_groups=True,
+                ckpt_dir=os.path.join(workdir, "02partial")
+                if workdir else None)
+        else:
+            from . import packed_dyn as _pd
 
-        # packed end to end: the extension returns the 2-bit pool and the
-        # checkpoint writer consumes it blockwise — the full-width byte
-        # matrix (the round-3 10 Mbp OOM) never exists in HBM
-        pool = run_dyn_extension(
-            pool, params, kmin=kmin, kmax=kmax, seed=seed, mesh=mesh,
-            return_packed=True,
-            ckpt_dir=os.path.join(workdir, "02partial") if workdir else None)
+            pool = run_dyn_extension(
+                pool, params, kmin=kmin, kmax=kmax, seed=seed, mesh=mesh,
+                return_packed=True,
+                ckpt_dir=os.path.join(workdir, "02partial")
+                if workdir else None)
+            pool = _pd.to_dyn_host(pool)
         if workdir:
             ckpt.save_records(workdir, "02extended", pool)
             ckpt.clear_partial(workdir, "02partial")
-        pool = _pd.to_dyn_host(pool)
         met.lap("meta/02extend")
-        met.set("meta/live_after_extension", int(np.sum(np.asarray(pool.live))))
+        met.set("meta/live_after_extension",
+                sum(len(g[1]) for g in pool) if isinstance(pool, list)
+                else int(np.sum(np.asarray(pool.live))))
 
     if resume_idx < 3:
         fix_ns = os.path.join(workdir, "03partial") if workdir else None
         if os.environ.get("REFLEXIV_FAST_FIXING") == "1" or kmax < 32:
             # unique-exact-overlap fast path (or degenerate k ladder)
+            if isinstance(pool, list):
+                from . import packed_dyn as _pd
+
+                hp_m = _groups_to_dense(pool)
+                pool = _pd.PackedDynRecords(
+                    *hp_m, np.ones(len(hp_m[1]), bool))
             pool = fixing_rounds(
                 pool, params, kfix=min(31, kmin), seed=seed + 1000, mesh=mesh,
                 ckpt_ns=fix_ns)
@@ -1993,15 +2552,19 @@ def assemble_dynamic(
         met.lap("meta/03fixing")
 
     if resume_idx < 4:
-        seq, length, subk, left, right, live = (np.asarray(a) for a in pool)
-        raw = []
-        for i in np.nonzero(live)[0]:
-            if left[i] <= REPEAT_KILLED and right[i] <= REPEAT_KILLED:
-                continue
-            if length[i] < params.min_contig:
-                continue
-            raw.append((decode_to_str(seq[i, :length[i]]),
-                        int(left[i]), int(right[i])))
+        if isinstance(pool, list):
+            raw = _decode_groups_to_raw(pool, params)
+        else:
+            seq, length, subk, left, right, live = (
+                np.asarray(a) for a in pool)
+            raw = []
+            for i in np.nonzero(live)[0]:
+                if left[i] <= REPEAT_KILLED and right[i] <= REPEAT_KILLED:
+                    continue
+                if length[i] < params.min_contig:
+                    continue
+                raw.append((decode_to_str(seq[i, :length[i]]),
+                            int(left[i]), int(right[i])))
 
         # fixing pass 2 (ReflexivDSDynamicKmerFixing/-RoundTwo): re-count
         # fixed 31-mers from the reads, fork-filter, and extend the contig
@@ -2043,21 +2606,40 @@ def assemble_dynamic(
                  kfix - 1, l, r)
                 for s, l, r in raw
             ]
-            pool2 = _dyn_pool_from_rows(rows)
-            if kmax < 32:
-                pool2 = fixing_rounds(
-                    pool2, params, kfix=kfix, seed=seed + 3000, mesh=mesh)
-            else:
+            if mesh is None and kmax >= 32:
+                # group-native re-entry: megabase contigs never sit in a
+                # rows x widest-row dense pool
+                pool2 = _groups_from_contig_rows(
+                    [(np.asarray(c), sk, l, r) for c, sk, l, r in rows],
+                    kfix)
                 pool2 = fixing_rounds_faithful(
                     pool2, params, kmax=kmax, seed=seed + 3000, mesh=mesh)
-            seq2, len2, _subk2, l2, r2, live2 = (
-                np.asarray(a) for a in pool2)
-            raw = [
-                (decode_to_str(seq2[i, :len2[i]]), int(l2[i]), int(r2[i]))
-                for i in np.nonzero(live2)[0]
-                if len2[i] >= params.min_contig
-                and not (l2[i] <= REPEAT_KILLED and r2[i] <= REPEAT_KILLED)
-            ]
+                if not isinstance(pool2, list):
+                    pool2 = [(
+                        np.asarray(pool2.seq), np.asarray(pool2.length),
+                        np.asarray(pool2.subk), np.asarray(pool2.left),
+                        np.asarray(pool2.right))]
+                raw = _decode_groups_to_raw(pool2, params)
+            else:
+                pool2 = _dyn_pool_from_rows(rows)
+                if kmax < 32:
+                    pool2 = fixing_rounds(
+                        pool2, params, kfix=kfix, seed=seed + 3000,
+                        mesh=mesh)
+                else:
+                    pool2 = fixing_rounds_faithful(
+                        pool2, params, kmax=kmax, seed=seed + 3000,
+                        mesh=mesh)
+                seq2, len2, _subk2, l2, r2, live2 = (
+                    np.asarray(a) for a in pool2)
+                raw = [
+                    (decode_to_str(seq2[i, :len2[i]]),
+                     int(l2[i]), int(r2[i]))
+                    for i in np.nonzero(live2)[0]
+                    if len2[i] >= params.min_contig
+                    and not (l2[i] <= REPEAT_KILLED
+                             and r2[i] <= REPEAT_KILLED)
+                ]
             met.lap("meta/05extend_pass")
 
         attrs = {s: (l, r) for s, l, r in raw}

@@ -397,20 +397,28 @@ def test_indexed_round_matches_monolithic(klist, max_sub, unique_only,
     hp = (np.asarray(p.seq)[keep], np.asarray(p.length)[keep],
           np.asarray(p.subk)[keep], np.asarray(p.left)[keep],
           np.asarray(p.right)[keep])
-    summ = dynamic._host_summaries(hp, max_sub)
+    # tiny dense width: most rows land in the ragged overflow dict, so the
+    # slow (per-row funnel) splice path is exercised alongside the fast one
+    monkeypatch.setattr(dynamic._RaggedPool, "W_DENSE", 2)
+    rp = dynamic._RaggedPool.from_dense(hp)
+    summ = dynamic._summaries_ragged(rp, max_sub)
+    for a, b in zip(summ, dynamic._host_summaries(hp, max_sub)):
+        np.testing.assert_array_equal(a, b)   # ragged == dense summaries
     monkeypatch.setenv("REFLEXIV_BUCKET_CAP", "64")   # force many buckets
-    nhp, nsum, n_live, need_i = dynamic._pdyn_round_indexed_host(
-        hp, summ, seed_it, kmin=kmin, max_sub=max_sub,
+    rp2, nsum, n_live, need_i = dynamic._pdyn_round_indexed_host(
+        rp, summ, seed_it, kmin=kmin, max_sub=max_sub,
         unique_only=unique_only, need=int(length.max()) * 2)
 
     def multiset(sq, ls, sk, lf, rt):
-        W = sq.shape[1]
         return sorted(
             (int(ls[i]), int(sk[i]), int(lf[i]), int(rt[i]),
              sq[i].tobytes().rstrip(b"\0"))
             for i in range(len(ls)))
 
-    got = multiset(*nhp)
+    got = []
+    for g in rp2.to_groups():
+        got.extend(multiset(*g))
+    got.sort()
     mkeep = np.nonzero(np.asarray(mono.live))[0]
     want = multiset(
         np.asarray(mono.seq)[mkeep], np.asarray(mono.length)[mkeep],
@@ -420,9 +428,19 @@ def test_indexed_round_matches_monolithic(klist, max_sub, unique_only,
     assert n_live == int(live_n)
     assert need_i == int(need_m)
     # maintained summaries must equal fresh ones (incremental correctness)
-    fresh = dynamic._host_summaries(nhp, max_sub)
+    fresh = dynamic._summaries_ragged(rp2, max_sub)
     for a, b in zip(nsum, fresh):
         np.testing.assert_array_equal(a, b)
+    # census from summaries == census from bytes (same row order)
+    Wmax = max((len(rp2.row_seq(i)) for i in range(rp2.n)), default=1)
+    seq2 = np.zeros((rp2.n, Wmax), np.uint32)
+    for i in range(rp2.n):
+        r = rp2.row_seq(i)
+        seq2[i, :len(r)] = r
+    np.testing.assert_array_equal(
+        dynamic._finished_mask_from_summ(nsum, rp2.subk, max_sub),
+        dynamic._finished_mask_host_exact(
+            (seq2, rp2.length, rp2.subk, rp2.left, rp2.right), max_sub))
 
 
 def test_dynamic_assembly_indexed_always(monkeypatch):
