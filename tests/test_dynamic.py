@@ -467,3 +467,32 @@ def test_dynamic_assembly_indexed_always(monkeypatch):
     (c,) = canon
     assert len(c) >= 420
     assert c in genome or oracle.revcomp(c) in genome
+
+
+@pytest.mark.slow
+def test_indexed_always_overflow_contig(monkeypatch):
+    """A genome longer than the ragged pool's dense width (W_DENSE shrunk
+    here) forces real overflow rows and per-row funnel splices through a
+    full indexed-always assembly — the campaign's megabase-contig shape
+    in miniature."""
+    monkeypatch.setenv("REFLEXIV_INDEXED_ALWAYS", "1")
+    monkeypatch.setenv("REFLEXIV_BUCKET_CAP", "4096")
+    monkeypatch.setattr(dynamic._RaggedPool, "W_DENSE", 16)  # 256 bases
+    rng = random.Random(41)
+    genome = "".join(rng.choice("ACGT") for _ in range(3000))
+    reads = []
+    for _ in range(1200):
+        s = rng.randrange(len(genome) - 80)
+        r = genome[s:s + 80]
+        if rng.random() < 0.5:
+            r = oracle.revcomp(r)
+        reads.append(r)
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    params = Params(k=21, klist=(15, 21, 31), min_kmer_coverage=2,
+                    min_contig=1500)
+    contigs = dynamic.assemble_dynamic(mat, lens, params, seed=1)
+    canon = {canonical_contig(s) for _, s in contigs}
+    assert len(canon) == 1
+    (c,) = canon
+    assert len(c) >= 2500          # way past the shrunken dense width
+    assert c in genome or oracle.revcomp(c) in genome
