@@ -2575,12 +2575,25 @@ def assemble_dynamic(
 
         kfix = min(31, kmin)
         fix_params = _dc.replace(params, k=kfix)
-        raw = [
+        # read-graph reassembly pads reads + fragments to ONE dense matrix
+        # of the longest fragment's width — 1 TiB at a 2 Mbp contig
+        # (observed round 5). It exists to bridge FRAGMENT-scale contigs
+        # through read evidence (ReAssembleCounter consumes "fragmented
+        # contigs", ReflexivDSMain.java reassemble flow), so contigs past
+        # the threshold skip it: their ends still get read-consensus
+        # extension below and end-overlap rejoins in the stage-05 fixing
+        # pass.
+        ra_max = int(os.environ.get(
+            "REFLEXIV_REASSEMBLE_MAX_BASES", "8192"))
+        small_rs = [(s, l, r) for s, l, r in raw if len(s) <= ra_max]
+        big_rs = [(s, l, r) for s, l, r in raw if len(s) > ra_max]
+        re_out = [
             (s,) + parse_contig_attrs(h)
             for h, s in reassemble_arrays(
-                bases, lengths, [s for s, _, _ in raw], fix_params,
+                bases, lengths, [s for s, _, _ in small_rs], fix_params,
                 seed=seed + 2000)
-        ]
+        ] if small_rs else []
+        raw = re_out + big_rs
 
         # contig-end read-consensus extension (the 07EndExtend stage;
         # replaces the reference's minimap2 pipe,
