@@ -126,6 +126,22 @@ def reassemble_arrays(
     recs, n_live = initial_records_from_counts(kmers, counts, params)
     log.info("reassembly: %d k-mer records + %d fragments", n_live,
              len(fragments))
+    # the unioned pool pads every k-mer record to the longest fragment's
+    # width: at campaign scale (20M records, megabase fragments) that is
+    # a terabyte-class dense matrix. Guard with a byte budget: when the
+    # pool cannot fit, fragments pass through untouched (end-consensus
+    # extension + the fixing rejoin still act on their ends downstream).
+    budget = int(os.environ.get("REFLEXIV_REASSEMBLE_BYTES", str(8 << 30)))
+    max_len = max((len(f) for f in fragments), default=0)
+    cap_rows = next_pow2(max(n_live + 2 * len(fragments), 1))
+    cap_len = next_pow2(max(max_len, params.k))
+    if fragments and cap_rows * cap_len > budget:
+        log.warning(
+            "reassembly pool %d x %d exceeds REFLEXIV_REASSEMBLE_BYTES=%d;"
+            " skipping read-graph reassembly (fragments pass through)",
+            cap_rows, cap_len, budget)
+        return [(f">Contig-{len(f)}-(-1,-1)-{i}", f)
+                for i, f in enumerate(fragments)]
     recs = remove_fragment_kmers(recs, fragments, params.k)
     recs = inject_fragments(recs, fragments, params.k)
     recs = run_extension_loop(recs, params, seed=seed)
