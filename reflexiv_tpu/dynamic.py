@@ -2583,8 +2583,13 @@ def assemble_dynamic(
         # the threshold skip it: their ends still get read-consensus
         # extension below and end-overlap rejoins in the stage-05 fixing
         # pass.
+        # 64 kb default: wide enough that fragment-scale contigs (the
+        # stage's whole purpose) keep their read-graph bridging — an 8 kb
+        # cap measurably shortened 50 kb-genome assemblies — while
+        # megabase campaign contigs still skip; the byte-budget guard in
+        # reassemble_arrays bounds the dense pool either way.
         ra_max = int(os.environ.get(
-            "REFLEXIV_REASSEMBLE_MAX_BASES", "8192"))
+            "REFLEXIV_REASSEMBLE_MAX_BASES", "65536"))
         small_rs = [(s, l, r) for s, l, r in raw if len(s) <= ra_max]
         big_rs = [(s, l, r) for s, l, r in raw if len(s) > ra_max]
         re_out = [

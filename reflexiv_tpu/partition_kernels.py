@@ -14,9 +14,14 @@ padded partition pass they would compose into:
   Destinations never overlap (padded slots), so a ring of in-flight DMAs
   runs at full async depth. This is the exchange the round-3 analysis
   called "expressible but unmeasured" (ROADMAP r3 notes).
-* :func:`element_gather_probe` — per-element dynamic-offset loads
-  (one-element DMAs), the primitive the arithmetic "gather form" of a
-  radix pass would need per element.
+* :func:`tile_gather_probe` — random *aligned-tile* dynamic-offset loads.
+  Mosaic rejects 1-D HBM slices that are not whole 1024-element tiles
+  ("Slice shape along dimension 0 must be aligned to tiling (1024)",
+  measured round 5 on v5e), so the one-element DMA the arithmetic "gather
+  form" wanted is INEXPRESSIBLE; the cheapest expressible primitive is a
+  random 4 KB tile copy, and a radix gather pass would pay one whole tile
+  per element. This probe measures that tile rate; the per-element rate
+  is tile_rate / 1024 useful elements.
 
 Composition arithmetic (why these two numbers settle the design): a
 partition pass = block grouping + exchange; grouping is a per-element
@@ -47,6 +52,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 N_DIGITS = 256
 _RING = 8     # in-flight DMA depth for the exchange
+_TILE = 1024  # Mosaic 1-D i32/u32 HBM tiling: dynamic slices must be
+              # whole 1024-element tiles (v5e, measured round 5)
 
 
 def _exchange_kernel_factory(nb: int, block: int, maxrun: int):
@@ -66,8 +73,12 @@ def _exchange_kernel_factory(nb: int, block: int, maxrun: int):
     def kernel(starts_hbm, hi_ref, lo_ref, ohi_ref, olo_ref,
                st_smem, st_sem, sems):
         b = pl.program_id(0)
+        # stage a whole 1024-element tile (Mosaic's minimum 1-D slice);
+        # only the leading N_DIGITS entries belong to this block, the tail
+        # is the next blocks' table (ignored) — the wrapper pads the table
+        # so the final block's over-read stays in bounds
         stage = pltpu.make_async_copy(
-            starts_hbm.at[pl.ds(b * N_DIGITS, N_DIGITS)], st_smem, st_sem)
+            starts_hbm.at[pl.ds(b * N_DIGITS, _TILE)], st_smem, st_sem)
         stage.start()
         stage.wait()
 
@@ -160,13 +171,19 @@ def padded_exchange(
             jax.ShapeDtypeStruct((out_shape,), jnp.uint32),
         ],
         scratch_shapes=[
-            pltpu.SMEM((N_DIGITS,), jnp.int32),
+            pltpu.SMEM((_TILE,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((_RING, 2)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(starts.astype(jnp.int32), hi_g, lo_g)
+    )(
+        # pad so the last block's 1024-element staging over-read is in
+        # bounds (the kernel only consumes the first N_DIGITS entries)
+        jnp.concatenate([
+            starts.astype(jnp.int32),
+            jnp.zeros(_TILE - N_DIGITS, jnp.int32)]),
+        hi_g, lo_g)
 
 
 def group_blocks_xla(hi, lo, *, block: int, shift: int):
@@ -207,16 +224,19 @@ def compact_buckets_np(out_hi, out_lo, starts, *, nb, block, maxrun):
     return np.concatenate(hi_parts), np.concatenate(lo_parts)
 
 
-_GCHUNK = 256    # elements gathered per grid step
+_GCHUNK = 1024   # tile starts staged per grid step (one SMEM tile)
 
 
-def _gather_kernel_factory(n: int):
-    """Per-element dynamic-offset loads: out[i] = src[idx[i]] via one
-    1-element DMA per element — the "arithmetic gather" form's primitive.
-    Each grid step stages its index chunk into SMEM, gathers into a VMEM
-    buffer, and DMAs the buffer out."""
+def _tile_gather_kernel_factory(n_tiles: int):
+    """Random aligned-tile loads: out[t*1024:(t+1)*1024] =
+    src[starts[t] : starts[t]+1024], one HBM->HBM DMA per tile with a
+    ``_RING``-deep in-flight window (reconstructed-descriptor retirement —
+    every DMA moves exactly ``_TILE`` uint32, see the exchange kernel's
+    ring note). This is the cheapest dynamic-offset load Mosaic admits on
+    1-D data; a gather-form radix pass would pay one such tile per
+    *element* it gathers."""
 
-    def kernel(idx_hbm, src_ref, out_ref, ibuf, buf, sem_i, sem_e, sem_o):
+    def kernel(idx_hbm, src_ref, out_ref, ibuf, sem_i, sems):
         c = pl.program_id(0)
         stage = pltpu.make_async_copy(
             idx_hbm.at[pl.ds(c * _GCHUNK, _GCHUNK)], ibuf, sem_i)
@@ -224,47 +244,64 @@ def _gather_kernel_factory(n: int):
         stage.wait()
 
         def body(i, _):
-            e = pltpu.make_async_copy(
-                src_ref.at[pl.ds(ibuf[i], 1)],
-                buf.at[pl.ds(i, 1)],
-                sem_e,
-            )
-            e.start()
-            e.wait()
+            t = c * _GCHUNK + i
+            slot = t % _RING
+
+            @pl.when(jnp.logical_and(t >= _RING, t < n_tiles))
+            def _():
+                pltpu.make_async_copy(
+                    src_ref.at[pl.ds(0, _TILE)],
+                    out_ref.at[pl.ds(0, _TILE)],
+                    sems.at[slot]).wait()
+
+            @pl.when(t < n_tiles)
+            def _():
+                dma = pltpu.make_async_copy(
+                    src_ref.at[pl.ds(ibuf[i], _TILE)],
+                    out_ref.at[pl.ds(t * _TILE, _TILE)],
+                    sems.at[slot])
+                dma.start()
+
+            @pl.when(t == n_tiles - 1)
+            def _():
+                def drain(kk, _):
+                    pltpu.make_async_copy(
+                        src_ref.at[pl.ds(0, _TILE)],
+                        out_ref.at[pl.ds(0, _TILE)],
+                        sems.at[kk]).wait()
+                    return 0
+
+                jax.lax.fori_loop(0, min(_RING, n_tiles), drain, 0)
+
             return 0
 
         jax.lax.fori_loop(0, _GCHUNK, body, 0)
-        outc = pltpu.make_async_copy(
-            buf, out_ref.at[pl.ds(c * _GCHUNK, _GCHUNK)], sem_o)
-        outc.start()
-        outc.wait()
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def element_gather_probe(src, idx, *, interpret: bool = False):
-    """out[i] = src[idx[i]] with per-element DMA; measures the per-element
-    dynamic-offset load rate (ns/element) that any gather-form radix pass
-    would pay 16.8M times per pass."""
-    n = idx.shape[0]
-    assert n % _GCHUNK == 0
+def tile_gather_probe(src, tile_starts, *, interpret: bool = False):
+    """out[t] tile = src[tile_starts[t] : +1024] for each of n_tiles random
+    (1024-aligned) starts; measures the random dynamic-offset tile-load
+    rate that bounds any gather-form radix pass (one tile per gathered
+    element — Mosaic has no sub-tile 1-D slice)."""
+    n_tiles = tile_starts.shape[0]
+    assert n_tiles % _GCHUNK == 0
     return pl.pallas_call(
-        _gather_kernel_factory(n),
-        grid=(n // _GCHUNK,),
+        _tile_gather_kernel_factory(n_tiles),
+        grid=(n_tiles // _GCHUNK,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((n,), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * _TILE,), jnp.uint32),
         scratch_shapes=[
             pltpu.SMEM((_GCHUNK,), jnp.int32),
-            pltpu.VMEM((_GCHUNK,), jnp.uint32),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((_RING,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(idx.astype(jnp.int32), src)
+    )(tile_starts.astype(jnp.int32), src)

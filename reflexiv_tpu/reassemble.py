@@ -128,20 +128,31 @@ def reassemble_arrays(
              len(fragments))
     # the unioned pool pads every k-mer record to the longest fragment's
     # width: at campaign scale (20M records, megabase fragments) that is
-    # a terabyte-class dense matrix. Guard with a byte budget: when the
-    # pool cannot fit, fragments pass through untouched (end-consensus
-    # extension + the fixing rejoin still act on their ends downstream).
+    # a terabyte-class dense matrix. Guard with a byte budget: drop the
+    # longest fragments from the dense union (they pass through untouched;
+    # end-consensus extension + the fixing rejoin still act on their ends
+    # downstream) until the projected pool fits, so fragment-scale contigs
+    # keep their read-graph bridging even when one giant contig would have
+    # blown the pool on its own.
     budget = int(os.environ.get("REFLEXIV_REASSEMBLE_BYTES", str(8 << 30)))
-    max_len = max((len(f) for f in fragments), default=0)
-    cap_rows = next_pow2(max(n_live + 2 * len(fragments), 1))
-    cap_len = next_pow2(max(max_len, params.k))
-    if fragments and cap_rows * cap_len > budget:
+    keep = sorted(fragments, key=len)
+    passthrough: List[str] = []
+    while keep:
+        cap_rows = next_pow2(max(n_live + 2 * len(keep), 1))
+        cap_len = next_pow2(max(len(keep[-1]), params.k))
+        if cap_rows * cap_len <= budget:
+            break
+        passthrough.append(keep.pop())
+    if passthrough:
         log.warning(
-            "reassembly pool %d x %d exceeds REFLEXIV_REASSEMBLE_BYTES=%d;"
-            " skipping read-graph reassembly (fragments pass through)",
-            cap_rows, cap_len, budget)
+            "reassembly pool exceeds REFLEXIV_REASSEMBLE_BYTES=%d; %d/%d"
+            " longest fragments (>= %d bp) pass through read-graph"
+            " reassembly untouched", budget, len(passthrough),
+            len(fragments), min(len(f) for f in passthrough))
+    if not keep:
         return [(f">Contig-{len(f)}-(-1,-1)-{i}", f)
                 for i, f in enumerate(fragments)]
+    fragments = keep
     recs = remove_fragment_kmers(recs, fragments, params.k)
     recs = inject_fragments(recs, fragments, params.k)
     recs = run_extension_loop(recs, params, seed=seed)
@@ -155,6 +166,9 @@ def reassemble_arrays(
     for i, s in enumerate(deduped):
         l, r = attrs.get(s, (0, 0))
         out.append((f">Contig-{len(s)}-({l},{r})-{i}", s))
+    base = len(out)
+    for j, f in enumerate(passthrough):
+        out.append((f">Contig-{len(f)}-(-1,-1)-{base + j}", f))
     return out
 
 

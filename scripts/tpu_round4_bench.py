@@ -26,6 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RESULTS = {"phases": {}}
 OUT = "/tmp/tpu_round4.json"
+# merge with a prior partial run so phase-selective re-runs (argv) keep
+# earlier results
+if os.path.exists(OUT):
+    try:
+        with open(OUT) as _fh:
+            RESULTS["phases"].update(json.load(_fh).get("phases", {}))
+    except (OSError, ValueError):
+        pass
 
 
 def save():
@@ -182,7 +190,9 @@ def main():
 
         out = {}
         N = 1 << 24
-        block, maxrun, shift = 1 << 16, 512, 24
+        # maxrun 1024: Mosaic's minimum 1-D dynamic-slice is one whole
+        # 1024-element tile (measured round 5) — runs pad up to it
+        block, maxrun, shift = 1 << 16, 1024, 24
         hi = jnp.asarray(rng.integers(0, 1 << 32, N, dtype=np.uint32))
         lo = jnp.asarray(rng.integers(0, 1 << 32, N, dtype=np.uint32))
         group = jax.jit(
@@ -219,23 +229,29 @@ def main():
 
     @phase("element_gather")
     def p_gather():
-        from reflexiv_tpu.partition_kernels import element_gather_probe
+        """Random aligned-tile loads (Mosaic admits no sub-1024 1-D slice,
+        so one 4 KB tile per gathered element is the gather-form radix
+        pass's floor)."""
+        from reflexiv_tpu.partition_kernels import tile_gather_probe
 
         out = {}
-        M = 1 << 16
+        M = 1 << 12   # tiles
         src = jnp.asarray(rng.integers(0, 1 << 32, 1 << 24, dtype=np.uint32))
-        idx = jnp.asarray(
-            rng.integers(0, 1 << 24, M).astype(np.int32))
+        starts = jnp.asarray(
+            (rng.integers(0, (1 << 24) // 1024 - 1, M) * 1024)
+            .astype(np.int32))
         dt = bench(
-            lambda: element_gather_probe(src, idx),
+            lambda: tile_gather_probe(src, starts),
             lambda o: np.asarray(o[:8]), reps=3)
-        out["elements"] = M
-        out["ns_per_element"] = round(dt / M * 1e9, 1)
-        out["equiv_gb_s"] = round(M * 4 / dt / 1e9, 4)
-        out["per_pass_s_at_2e24"] = round(dt / M * (1 << 24), 2)
-        spot = np.asarray(element_gather_probe(src, idx)[:64])
+        out["tiles"] = M
+        out["ns_per_tile"] = round(dt / M * 1e9, 1)
+        out["tile_copy_gb_s"] = round(M * 4096 * 2 / dt / 1e9, 2)
+        # one tile per gathered ELEMENT in the arithmetic gather form:
+        out["per_pass_s_at_2e24_elements"] = round(dt / M * (1 << 24), 2)
+        spot = np.asarray(tile_gather_probe(src, starts)[:1024])
+        s0 = int(starts[0])
         out["spot_parity"] = bool(
-            (spot == np.asarray(src)[np.asarray(idx[:64])]).all())
+            (spot == np.asarray(src)[s0: s0 + 1024]).all())
         return out
 
     @phase("correct_10m")
@@ -257,11 +273,23 @@ def main():
         lens = np.full(R, rl, np.int32)
         out["gen_s"] = round(time.time() - t0, 1)
         t0 = time.time()
-        limbs, counts = count_kmers(
-            jnp.asarray(mat), jnp.asarray(lens), k=k, min_cov=3,
-            max_cov=2_000_000_000)
-        solid = (np.asarray(limbs[:, 0]).astype(np.uint64) << np.uint64(32)
-                 ) | np.asarray(limbs[:, 1]).astype(np.uint64)
+        # chunked streaming counting: a one-shot sort at 780M windows is a
+        # 19 GB HBM program (measured OOM, round-5 session); the streaming
+        # table merges 2^25-window chunks and spills to host when needed
+        from reflexiv_tpu.count import count_kmers_streaming
+
+        rows_per_chunk = (1 << 25) // (rl - k + 1)
+
+        def read_chunks():
+            for lo in range(0, R, rows_per_chunk):
+                yield (jnp.asarray(mat[lo: lo + rows_per_chunk]),
+                       jnp.asarray(lens[lo: lo + rows_per_chunk]))
+
+        limbs, counts = count_kmers_streaming(
+            read_chunks(), k=k, min_cov=3, max_cov=2_000_000_000)
+        limbs = np.asarray(limbs)
+        solid = (limbs[:, 0].astype(np.uint64) << np.uint64(32)
+                 ) | limbs[:, 1].astype(np.uint64)
         out["table_tpu_s"] = round(time.time() - t0, 1)
         out["solid_kmers"] = int(len(solid))
         t0 = time.time()
@@ -335,11 +363,17 @@ def main():
             os.environ.pop("REFLEXIV_DEVICE_STAGES", None)
         return out
 
-    p_mixed()
-    p_exchange()
-    p_gather()
-    p_correct()
-    p_aux()
+    all_phases = {
+        "mixed_k_round": p_mixed,
+        "indexed_round": p_indexed,
+        "partition_exchange": p_exchange,
+        "element_gather": p_gather,
+        "correct_10m": p_correct,
+        "device_aux_single_dispatch": p_aux,
+    }
+    wanted = sys.argv[1:] or list(all_phases)
+    for name in wanted:
+        all_phases[name]()
     save()
     print(json.dumps({"done": True, "out": OUT}), flush=True)
 

@@ -11,9 +11,9 @@ jax.config.update("jax_platforms", "cpu")
 from reflexiv_tpu.partition_kernels import (  # noqa: E402
     N_DIGITS,
     compact_buckets_np,
-    element_gather_probe,
     group_blocks_xla,
     padded_exchange,
+    tile_gather_probe,
 )
 
 SHIFT = 24   # top byte of the hi limb
@@ -61,10 +61,14 @@ def test_padded_exchange_reconstructs_sorted_buckets(low_entropy):
     np.testing.assert_array_equal(got_lo[order], np.asarray(want_lo))
 
 
-def test_element_gather_probe_matches_numpy():
+def test_tile_gather_probe_matches_numpy():
     rng = np.random.default_rng(11)
-    src = jnp.asarray(rng.integers(0, 1 << 32, 4096, dtype=np.uint32))
-    idx = jnp.asarray(rng.integers(0, 4096, 1024).astype(np.int32))
-    out = element_gather_probe(src, idx, interpret=True)
-    np.testing.assert_array_equal(
-        np.asarray(out), np.asarray(src)[np.asarray(idx)])
+    n_src = 16 * 1024
+    src = jnp.asarray(rng.integers(0, 1 << 32, n_src, dtype=np.uint32))
+    starts = jnp.asarray(
+        (rng.integers(0, n_src // 1024 - 1, 1024) * 1024).astype(np.int32))
+    out = np.asarray(tile_gather_probe(src, starts, interpret=True))
+    s = np.asarray(src)
+    for t, st in enumerate(np.asarray(starts)):
+        np.testing.assert_array_equal(
+            out[t * 1024: (t + 1) * 1024], s[st: st + 1024])
