@@ -70,16 +70,20 @@ def expand_ranges(lo: jnp.ndarray, cnt: jnp.ndarray, cap: int):
 
 def device_stage_default(stage: str) -> bool:
     """Per-stage device-vs-numpy default, set from on-chip measurements
-    (TPU_SESSION3_evidence.json, warm compile cache, VERDICT scale):
+    (TPU_SESSION3_evidence.json round 3; TPU_ROUND5_evidence.json round 5,
+    warm compile cache, VERDICT scale = 1M reads / 1M pairs):
 
-      end_extend   34.5 s device vs 74 s CPU  -> device wins (2.1x)
-      correction  632 s device vs 316 s CPU   -> numpy wins
-      patching    330 s device vs 181 s CPU   -> numpy wins
+      end_extend   34.5 s device vs 74 s CPU  -> device wins (2.1x, r3)
+      correction  131.3 s device warm (r5: the single-dispatch round
+                  collapsed the per-chunk tunnel syncs that made the
+                  round-3 chunked form lose at 632 s) vs 316 s numpy —
+                  but the native C++ rfx_correct does the same reads in
+                  ~24 s (NATIVE evidence, r3), so native stays default
+      patching    293 s device vs 181 s CPU   -> native C++ wins (r5
+                  re-measure; rfx_map_pairs_hashed is 7.0x numpy)
 
-    The chunked, host-sync-heavy stages lose to the remote-TPU tunnel's
-    round-trip cost; the sort-heavy end-extend wins. REFLEXIV_DEVICE_STAGES
-    overrides globally: "1" forces every stage onto the device, "0" forces
-    the numpy oracles.
+    REFLEXIV_DEVICE_STAGES overrides globally: "1" forces every stage onto
+    the device, "0" forces the numpy oracles.
     """
     import os
 

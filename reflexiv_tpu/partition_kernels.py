@@ -56,41 +56,61 @@ _TILE = 1024  # Mosaic 1-D i32/u32 HBM tiling: dynamic slices must be
               # whole 1024-element tiles (v5e, measured round 5)
 
 
+def _slot_size(maxrun: int) -> int:
+    """Padded bucket-slot stride: Mosaic can only DMA whole 1024-element
+    tiles at provably tile-aligned offsets, so each run's copy starts at
+    its source tile boundary (up to ``_TILE - 1`` head slack) and covers
+    ``maxrun`` payload elements."""
+    return maxrun + _TILE
+
+
 def _exchange_kernel_factory(nb: int, block: int, maxrun: int):
     """One grid step = one source block: stage the block's 256 run starts
     into SMEM, then loop its digits issuing one (hi, lo) DMA pair per run
     into the padded bucket slots. A semaphore ring of ``_RING`` keeps that
     many runs in flight across the loop AND across grid steps.
 
-    Ring retirement note: every data DMA copies exactly ``maxrun`` uint32,
+    Alignment (measured on v5e, round 5): 1-D HBM slices must be whole
+    1024-element tiles at offsets the compiler can PROVE tile-divisible —
+    arbitrary run starts are rejected ("Failed to prove that a tile index
+    ... is divisible"). Each copy therefore starts at the run's source
+    tile boundary (``(src // _TILE) * _TILE``, provable by construction)
+    and spans ``slot = maxrun + _TILE`` elements; the run's payload begins
+    ``src % _TILE`` into its slot (host compaction accounts for it).
+
+    Ring retirement note: every data DMA copies exactly ``slot`` uint32,
     so a wait may be issued through a reconstructed descriptor with any
     offsets — the byte count (what the DMA semaphore tracks) is identical.
     That lets a block retire DMAs its predecessor started without keeping
     the predecessor's offset table around.
     """
     n_steps = nb * N_DIGITS
+    slot_sz = _slot_size(maxrun)
+    aligned = slot_sz % _TILE == 0   # true on hardware (maxrun % 1024 == 0)
+
+    def _hint(off):
+        return pl.multiple_of(off, _TILE) if aligned else off
 
     def kernel(starts_hbm, hi_ref, lo_ref, ohi_ref, olo_ref,
                st_smem, st_sem, sems):
         b = pl.program_id(0)
-        # stage a whole 1024-element tile (Mosaic's minimum 1-D slice);
-        # only the leading N_DIGITS entries belong to this block, the tail
-        # is the next blocks' table (ignored) — the wrapper pads the table
-        # so the final block's over-read stays in bounds
+        # stage a whole 1024-element tile (Mosaic's minimum 1-D slice) at
+        # a tile-aligned offset: the wrapper lays the table out at a
+        # _TILE stride per block (leading N_DIGITS entries used)
         stage = pltpu.make_async_copy(
-            starts_hbm.at[pl.ds(b * N_DIGITS, _TILE)], st_smem, st_sem)
+            starts_hbm.at[pl.ds(_hint(b * _TILE), _TILE)], st_smem, st_sem)
         stage.start()
         stage.wait()
 
         def dmas_at(src, dst, slot):
             dma_hi = pltpu.make_async_copy(
-                hi_ref.at[pl.ds(src, maxrun)],
-                ohi_ref.at[pl.ds(dst, maxrun)],
+                hi_ref.at[pl.ds(src, slot_sz)],
+                ohi_ref.at[pl.ds(dst, slot_sz)],
                 sems.at[slot, 0],
             )
             dma_lo = pltpu.make_async_copy(
-                lo_ref.at[pl.ds(src, maxrun)],
-                olo_ref.at[pl.ds(dst, maxrun)],
+                lo_ref.at[pl.ds(src, slot_sz)],
+                olo_ref.at[pl.ds(dst, slot_sz)],
                 sems.at[slot, 1],
             )
             return dma_hi, dma_lo
@@ -110,8 +130,9 @@ def _exchange_kernel_factory(nb: int, block: int, maxrun: int):
                 wait_slot(slot)
 
             src = b * block + st_smem[d]
-            dst = (d * nb + b) * maxrun
-            h, l = dmas_at(src, dst, slot)
+            src_t = (src // _TILE) * _TILE
+            dst = (d * nb + b) * slot_sz
+            h, l = dmas_at(_hint(src_t), _hint(dst), slot)
             h.start()
             l.start()
 
@@ -142,18 +163,27 @@ def padded_exchange(
     ``hi_g``/``lo_g``: (nb*block + maxrun,) uint32, block-grouped (each
     ``block``-sized chunk holds its elements grouped — e.g. sorted — by the
     8-bit digit), with ``maxrun`` slack elements appended so the final
-    run's static-size over-read stays in bounds. ``starts``: (nb*256,)
+    run's static-size over-read stays in bounds (the wrapper appends the
+    extra ``_TILE`` of align-down slack itself). ``starts``: (nb*256,)
     int32, each (b, d) run's start offset within its block (monotone per
     block; run length = next start - start, assumed <= maxrun by the
     caller's maxrun choice).
 
-    Returns (out_hi, out_lo) of shape (256*nb*maxrun,): run (b, d) lands at
-    ``(d*nb + b)*maxrun``; slots are padded with whatever trailed the run
-    in its source block (callers mask via the run-length table).
+    Returns (out_hi, out_lo) of shape (256*nb*slot,) with
+    ``slot = maxrun + _TILE``: run (b, d)'s payload lands at
+    ``(d*nb + b)*slot + (b*block + starts[b,d]) % _TILE`` (tile-aligned
+    copies carry up to ``_TILE - 1`` head elements; callers compact via
+    the run-length table — see :func:`compact_buckets_np`).
     """
     total = hi_g.shape[0] - maxrun
     nb = total // block
-    out_shape = N_DIGITS * nb * maxrun
+    slot_sz = _slot_size(maxrun)
+    out_shape = N_DIGITS * nb * slot_sz
+    # starts laid out one _TILE-stride row per block so the staging DMA's
+    # offset (b*_TILE) is provably tile-aligned
+    st_tiled = jnp.zeros((nb, _TILE), jnp.int32)
+    st_tiled = st_tiled.at[:, :N_DIGITS].set(
+        starts.astype(jnp.int32).reshape(nb, N_DIGITS))
     return pl.pallas_call(
         _exchange_kernel_factory(nb, block, maxrun),
         grid=(nb,),
@@ -178,12 +208,10 @@ def padded_exchange(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(
-        # pad so the last block's 1024-element staging over-read is in
-        # bounds (the kernel only consumes the first N_DIGITS entries)
-        jnp.concatenate([
-            starts.astype(jnp.int32),
-            jnp.zeros(_TILE - N_DIGITS, jnp.int32)]),
-        hi_g, lo_g)
+        st_tiled.reshape(-1),
+        # align-down slack: a copy may start up to _TILE-1 before its run
+        jnp.concatenate([hi_g, jnp.zeros(_TILE, jnp.uint32)]),
+        jnp.concatenate([lo_g, jnp.zeros(_TILE, jnp.uint32)]))
 
 
 def group_blocks_xla(hi, lo, *, block: int, shift: int):
@@ -215,9 +243,11 @@ def compact_buckets_np(out_hi, out_lo, starts, *, nb, block, maxrun):
     hi_parts, lo_parts = [], []
     oh = np.asarray(out_hi)
     ol = np.asarray(out_lo)
+    slot_sz = _slot_size(maxrun)
     for d in range(N_DIGITS):
         for b in range(nb):
-            at = (d * nb + b) * maxrun
+            src = b * block + int(starts[b, d])
+            at = (d * nb + b) * slot_sz + src % _TILE
             n = int(lens[b, d])
             hi_parts.append(oh[at: at + n])
             lo_parts.append(ol[at: at + n])
@@ -256,9 +286,12 @@ def _tile_gather_kernel_factory(n_tiles: int):
 
             @pl.when(t < n_tiles)
             def _():
+                # offsets must be PROVABLY tile-divisible; the wrapper's
+                # contract is 1024-aligned starts, assert it to Mosaic
                 dma = pltpu.make_async_copy(
-                    src_ref.at[pl.ds(ibuf[i], _TILE)],
-                    out_ref.at[pl.ds(t * _TILE, _TILE)],
+                    src_ref.at[pl.ds(pl.multiple_of(ibuf[i], _TILE), _TILE)],
+                    out_ref.at[pl.ds(pl.multiple_of(t * _TILE, _TILE),
+                                     _TILE)],
                     sems.at[slot])
                 dma.start()
 

@@ -172,10 +172,12 @@ def main():
         out["device_kernel_s"] = round(dt, 4)
         out["device_recs_per_s"] = round(N / dt)
 
-        # full host round (summaries upload + kernel + host splice)
+        # full host round (summaries upload + kernel + host splice);
+        # the host loop carries a _RaggedPool, not the raw tuple
+        pool = dyn._RaggedPool.from_dense(hp)
         t0 = time.time()
-        nhp, nsum, n_live, need = dyn._pdyn_round_indexed_host(
-            hp, summ, 1, kmin=kmin, max_sub=max_sub, unique_only=False,
+        npool, nsum, n_live, need = dyn._pdyn_round_indexed_host(
+            pool, summ, 1, kmin=kmin, max_sub=max_sub, unique_only=False,
             need=2 * L)
         out["full_round_s"] = round(time.time() - t0, 4)
         out["full_recs_per_s"] = round(N / (time.time() - t0))
@@ -213,17 +215,22 @@ def main():
             lambda o: np.asarray(o[0][:8]), reps=5)
         out["exchange_s"] = round(dt, 4)
         nb = N // block
-        moved = 2 * 256 * nb * maxrun * 4          # bytes written (padded)
+        from reflexiv_tpu.partition_kernels import _TILE, _slot_size
+
+        slot = _slot_size(maxrun)
+        moved = 2 * 256 * nb * slot * 4            # bytes written (padded)
         out["exchange_written_gb_s"] = round(moved / dt / 1e9, 2)
+        out["exchange_payload_gb_s"] = round(2 * N * 4 / dt / 1e9, 2)
         out["exchange_dmas"] = 2 * 256 * nb
         # spot parity: one bucket's first run equals the grouped source run
         oh, _ol = padded_exchange(
             hi_p, lo_p, starts, block=block, maxrun=maxrun)
         d, b = 7, 3
         s0 = int(st[b, d])
+        src = b * block + s0
         ln = min(int(ends[b, d] - st[b, d]), maxrun)
-        got = np.asarray(oh[(d * nb + b) * maxrun:][:ln])
-        want = np.asarray(hi_g[b * block + s0: b * block + s0 + ln])
+        got = np.asarray(oh[(d * nb + b) * slot + src % _TILE:][:ln])
+        want = np.asarray(hi_g[src: src + ln])
         out["spot_parity"] = bool((got == want).all())
         return out
 
