@@ -199,22 +199,42 @@ def main():
     # attach the committed on-chip extension evidence. This is a REPLAY of
     # a prior round's measurement, not a fresh number — measured_round says
     # which (VERDICT r4 weak #2: an undated replay reads as current).
+    # Prefer the round-5 MIXED-K (production meta) round measurement; fall
+    # back to the round-2 single-k number on older checkouts.
     ext_evidence = {}
-    ev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "TPU_SESSION2_evidence.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    ev_path = os.path.join(here, "TPU_ROUND5_evidence.json")
     if os.path.exists(ev_path):
         with open(ev_path) as fh:
-            ph = json.load(fh).get("phases", {}).get("extension_forms", {})
+            ph = json.load(fh).get("phases", {}).get("mixed_k_round", {})
         if ph.get("ok"):
             ext_evidence = {
-                "extension_round_ms": round(
+                "mixed_k_round_ms": round(
                     ph["round_variadic_fill_s"] * 1e3, 1),
-                "extension_records_per_sec": ph["recs_per_s_variadic_fill"],
-                "vs_round2_round": round(
-                    0.385 / ph["round_variadic_fill_s"], 1),
-                "measured_round": 2,
-                "evidence_file": "TPU_SESSION2_evidence.json",
+                "mixed_k_records_per_sec":
+                    ph["recs_per_s_variadic_fill"],
+                "vs_round2_mixed_k_round": round(
+                    0.509 / ph["round_variadic_fill_s"], 1),
+                "measured_round": 5,
+                "evidence_file": "TPU_ROUND5_evidence.json",
             }
+    if not ext_evidence:
+        ev_path = os.path.join(here, "TPU_SESSION2_evidence.json")
+        if os.path.exists(ev_path):
+            with open(ev_path) as fh:
+                ph = json.load(fh).get("phases", {}).get(
+                    "extension_forms", {})
+            if ph.get("ok"):
+                ext_evidence = {
+                    "extension_round_ms": round(
+                        ph["round_variadic_fill_s"] * 1e3, 1),
+                    "extension_records_per_sec":
+                        ph["recs_per_s_variadic_fill"],
+                    "vs_round2_round": round(
+                        0.385 / ph["round_variadic_fill_s"], 1),
+                    "measured_round": 2,
+                    "evidence_file": "TPU_SESSION2_evidence.json",
+                }
     result = {
         "metric": "kmer_counting_throughput",
         "value": round(counting["kmers_per_sec"] / 1e6, 3),
