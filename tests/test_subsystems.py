@@ -48,6 +48,35 @@ def test_reassembler_extends_fragment():
     assert frag in c or oracle.revcomp(frag) in c
 
 
+@pytest.mark.slow
+def test_reassembler_byte_budget_passes_longest_through(monkeypatch):
+    """When the dense pool exceeds REFLEXIV_REASSEMBLE_BYTES, only the
+    LONGEST fragments pass through untouched — shorter fragments keep
+    their read-graph bridging (round-5 graceful degradation; the old
+    behavior skipped reassembly for the whole pool)."""
+    from reflexiv_tpu.reassemble import reassemble_arrays
+
+    rng = random.Random(77)
+    genome = "".join(rng.choice("ACGT") for _ in range(700))
+    frag = genome[250:450]
+    # a giant unrelated fragment that alone would blow a tiny byte budget
+    giant = "".join(rng.choice("ACGT") for _ in range(4096))
+    reads = _sim_reads(rng, genome, 60, 30)
+    mat, lens = reads_to_matrix([r.encode() for r in reads])
+    params = Params(k=21, min_kmer_coverage=2, min_contig=400)
+    # budget fits the pool at cap_len ~512 (the 200 bp fragment) but not
+    # at cap_len 4096 (the giant): rows ~2^12 -> 2^12 * 4096 > budget
+    monkeypatch.setenv("REFLEXIV_REASSEMBLE_BYTES", str(4_000_000))
+    contigs = reassemble_arrays(mat, lens, [frag, giant], params, seed=1)
+    seqs = [s for _, s in contigs]
+    # the giant passed through verbatim
+    assert giant in seqs
+    # the fragment-scale contig still got extended through the reads
+    canon = {canonical_contig(s) for s in seqs if s != giant}
+    assert any(len(c) >= 600 and (c in genome or oracle.revcomp(c) in genome)
+               for c in canon)
+
+
 def test_merger_removes_redundant():
     from reflexiv_tpu.merger import merge_contigs
 
